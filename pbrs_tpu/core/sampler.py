@@ -1,0 +1,138 @@
+"""Counter-based stateless samplers.
+
+The reference draws from per-thread mutable RNGs (`rand::thread_rng()`,
+reference src/pathintegrator.rs:10, src/directlighting.rs:67). That is
+incompatible with jit-compiled SPMD execution, so every random draw here is
+a pure function of (seed, pixel, sample, bounce, dimension). Two backends:
+
+* ``pcg``    — a PCG-style integer hash chain, one multiply-xorshift per
+  draw. Fast on the VPU; the default for rendering.
+* ``threefry`` — `jax.random` fold_in chains. Slower, used as the
+  gold-standard in statistical tests.
+
+Both give every pixel-sample an independent, reproducible stream, which is
+what makes the renderer deterministic under any device sharding (the
+reference's determinism story was `--use_single_thread`,
+reference src/cli_options.rs:89-90).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Purpose/dimension ids — one stream per logical decision per bounce.
+DIM_CAMERA_JITTER = 0
+DIM_LIGHT_SELECT = 1
+DIM_LIGHT_UV = 2
+DIM_SCATTER_UV = 3
+DIM_BSDF_UV = 4
+DIM_RUSSIAN_ROULETTE = 5
+DIM_SPECULAR_CHOICE = 6
+
+
+def _pcg_permute(x):
+    """PCG output permutation (RXS-M-XS variant) on uint32."""
+    x = x.astype(jnp.uint32)
+    word = ((x >> ((x >> jnp.uint32(28)) + jnp.uint32(4))) ^ x) * jnp.uint32(277803737)
+    return (word >> jnp.uint32(22)) ^ word
+
+
+def _mix(h, k):
+    """One absorb step: murmur3-style integer mixing of k into state h."""
+    k = k.astype(jnp.uint32)
+    k = k * jnp.uint32(0xCC9E2D51)
+    k = (k << jnp.uint32(15)) | (k >> jnp.uint32(17))
+    k = k * jnp.uint32(0x1B873593)
+    h = h ^ k
+    h = (h << jnp.uint32(13)) | (h >> jnp.uint32(19))
+    h = h * jnp.uint32(5) + jnp.uint32(0xE6546B64)
+    return h
+
+
+def _finalize(h):
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
+def hash_u32(*counters):
+    """Hash an arbitrary list of int32/uint32 counters to uint32."""
+    h = jnp.uint32(0x9E3779B9)
+    for c in counters:
+        h = _mix(h, jnp.asarray(c))
+    return _pcg_permute(_finalize(h))
+
+
+def uniform_from_u32(bits):
+    """uint32 -> float32 in [0, 1) using the top 24 bits."""
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
+class PCGSampler:
+    """Stateless sampler: draws are pure functions of the counter tuple."""
+
+    def __init__(self, seed: int = 0):
+        self.seed = jnp.uint32(seed)
+
+    def u1(self, pixel, sample, bounce, dim, lane=0):
+        """One uniform [0,1) per element of the broadcast counter arrays."""
+        bits = hash_u32(self.seed, pixel, sample, bounce * 16 + dim, lane)
+        return uniform_from_u32(bits)
+
+    def u2(self, pixel, sample, bounce, dim):
+        """Two independent uniforms, stacked on the last axis."""
+        return jnp.stack(
+            [
+                self.u1(pixel, sample, bounce, dim, lane=0),
+                self.u1(pixel, sample, bounce, dim, lane=1),
+            ],
+            axis=-1,
+        )
+
+
+class ThreefrySampler:
+    """jax.random-backed equivalent (threefry), for cross-validation."""
+
+    def __init__(self, seed: int = 0):
+        self.key = jax.random.key(seed)
+
+    def _key(self, pixel, sample, bounce, dim, lane):
+        k = self.key
+        for c in (pixel, sample, bounce * 16 + dim, lane):
+            k = jax.random.fold_in(k, jnp.asarray(c, jnp.uint32))
+        return k
+
+    def u1(self, pixel, sample, bounce, dim, lane=0):
+        keys = jax.vmap(
+            lambda p, s: self._key(p, s, bounce, dim, lane)
+        )(jnp.ravel(pixel), jnp.broadcast_to(sample, jnp.shape(pixel)).ravel())
+        u = jax.vmap(lambda k: jax.random.uniform(k))(keys)
+        return u.reshape(jnp.shape(pixel))
+
+    def u2(self, pixel, sample, bounce, dim):
+        return jnp.stack(
+            [
+                self.u1(pixel, sample, bounce, dim, lane=0),
+                self.u1(pixel, sample, bounce, dim, lane=1),
+            ],
+            axis=-1,
+        )
+
+
+def stratified_jitter(sampler, pixel, sample, msaa: int):
+    """Per-sample stratified jitter inside the pixel, matching the reference
+    sampling layout (reference src/main.rs:197-203): sample i of msaa² lands
+    in stratum (i // msaa, i % msaa) with a uniform sub-jitter.
+    Returns (dx, dy) in [0,1)².
+    """
+    u = sampler.u2(pixel, sample, 0, DIM_CAMERA_JITTER)
+    i = jnp.asarray(sample)
+    sx = (i // msaa).astype(jnp.float32)
+    sy = (i % msaa).astype(jnp.float32)
+    dx = (sx + u[..., 0]) / msaa
+    dy = (sy + u[..., 1]) / msaa
+    return dx, dy
