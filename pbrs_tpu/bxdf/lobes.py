@@ -1,0 +1,339 @@
+"""BSDF lobe models with branchless kind dispatch.
+
+The reference dispatches `BXDF` enum variants per hit
+(reference geometry/src/bxdf.rs:262-269). Here a *lobe* is a row of SoA
+parameter arrays tagged with an integer kind; eval/pdf/sample compute every
+model for every lane on the VPU and mask-select — no divergence, no virtual
+calls. All directions are unit vectors in the local shading frame (+z =
+normal, matching the Omega convention, geometry/src/bxdf.rs:9-29).
+
+Kinds:
+  NONE             empty slot
+  LAMBERT          albedo/π                   [ref: bxdf.rs:539-573]
+  OREN_NAYAR       alpha=(A,B) coefficients   [ref: bxdf.rs:543-558]
+  MICROFACET       Torrance-Sparrow           [ref: bxdf.rs:575-639]
+  SPEC_MIRROR      delta reflection           [ref: bxdf.rs:395-434, 467-469]
+  SPEC_DIELECTRIC  delta reflect+refract mix  [ref: bxdf.rs:482-498]
+  SPEC_TRANSMIT    delta refraction only      [ref: bxdf.rs:470-481]
+  FRESNEL_BLEND    Ashikhmin-Shirley          [ref: bxdf.rs:641-717]
+
+Deliberate fixes vs the reference (see COMPAT.md): FresnelBlend's
+hemisphere checks are inverted in the reference (bxdf.rs:700-710) and its
+pdf drops the 1/π and |cosθh| factors; both corrected here to the standard
+Ashikhmin-Shirley sampling density.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import vecmath as vm
+from . import fresnel as fr
+from . import microfacet as mf
+
+NONE = 0
+LAMBERT = 1
+OREN_NAYAR = 2
+MICROFACET = 3
+SPEC_MIRROR = 4
+SPEC_DIELECTRIC = 5
+SPEC_TRANSMIT = 6
+FRESNEL_BLEND = 7
+
+_PI = jnp.pi
+INV_PI = 1.0 / jnp.pi
+
+
+@struct.dataclass
+class Lobes:
+    """Per-hit lobe table; every field is [..., L] or [..., L, 3]."""
+
+    kind: jnp.ndarray
+    albedo: jnp.ndarray
+    specular: jnp.ndarray  # FresnelBlend Rs
+    alpha: jnp.ndarray  # [..., L, 2] microfacet alphas / Oren-Nayar (A, B)
+    distrib: jnp.ndarray
+    fr_kind: jnp.ndarray
+    eta: jnp.ndarray  # [..., L, 2] dielectric (eta_front, eta_back)
+    eta_t: jnp.ndarray  # [..., L, 3] conductor eta
+    k: jnp.ndarray  # [..., L, 3] conductor absorption
+
+    @property
+    def num_slots(self):
+        return self.kind.shape[-1]
+
+
+def slot(lobes: Lobes, l) -> Lobes:
+    """View of slot l. `l` may be an int or an int array (per-lane gather)."""
+    if isinstance(l, int):
+        pick = lambda a: a[..., l, :] if a.ndim > lobes.kind.ndim else a[..., l]
+    else:
+        def pick(a):
+            if a.ndim > lobes.kind.ndim:
+                return jnp.take_along_axis(a, l[..., None, None], axis=-2)[..., 0, :]
+            return jnp.take_along_axis(a, l[..., None], axis=-1)[..., 0]
+    return Lobes(*(pick(getattr(lobes, f)) for f in (
+        "kind", "albedo", "specular", "alpha", "distrib", "fr_kind",
+        "eta", "eta_t", "k")))
+
+
+def num_active(lobes: Lobes):
+    return jnp.sum((lobes.kind != NONE).astype(jnp.int32), axis=-1)
+
+
+def is_delta_kind(kind):
+    return (kind == SPEC_MIRROR) | (kind == SPEC_DIELECTRIC) | (
+        kind == SPEC_TRANSMIT
+    )
+
+
+# --------------------------- sampling helpers ------------------------------
+
+
+def concentric_sample_disk(u2):
+    """Map [0,1)² to the unit disk. [ref: geometry/src/bxdf.rs:187-200]
+
+    Uses the reference's polar form: radius = max(|x|,|y|), angle from the
+    normalized (x, y)."""
+    x = u2[..., 0] * 2.0 - 1.0
+    y = u2[..., 1] * 2.0 - 1.0
+    r = jnp.maximum(jnp.abs(x), jnp.abs(y))
+    hyp = jnp.sqrt(x * x + y * y)
+    hyp_safe = jnp.maximum(hyp, 1e-20)
+    px = r * x / hyp_safe
+    py = r * y / hyp_safe
+    degenerate = (x == 0.0) & (y == 0.0)
+    return jnp.where(degenerate, 0.0, px), jnp.where(degenerate, 0.0, py)
+
+
+def cos_sample_hemisphere(u2):
+    """Cosine-weighted +z hemisphere. [ref: geometry/src/bxdf.rs:202-206]"""
+    x, y = concentric_sample_disk(u2)
+    z = vm.safe_sqrt(1.0 - x * x - y * y)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def cos_hemisphere_pdf(wi):
+    return jnp.abs(wi[..., 2]) * INV_PI
+
+
+# ------------------------------- eval --------------------------------------
+
+
+def _fresnel_of(lb: Lobes, cos_i):
+    return fr.eval_color(
+        lb.fr_kind, cos_i, lb.eta[..., 0], lb.eta[..., 1], lb.eta_t, lb.k
+    )
+
+
+def _oren_nayar_factor(lb, wo, wi):
+    a, b = lb.alpha[..., 0], lb.alpha[..., 1]
+    sin_i = jnp.sqrt(mf.sin2_theta(wi))
+    sin_o = jnp.sqrt(mf.sin2_theta(wo))
+    hyp_i = jnp.maximum(jnp.sqrt(wi[..., 0] ** 2 + wi[..., 1] ** 2), 1e-20)
+    hyp_o = jnp.maximum(jnp.sqrt(wo[..., 0] ** 2 + wo[..., 1] ** 2), 1e-20)
+    cos_dphi = (
+        wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1]
+    ) / (hyp_i * hyp_o)
+    d_cos = jnp.maximum(cos_dphi, 0.0)
+    aci = jnp.abs(wi[..., 2])
+    aco = jnp.abs(wo[..., 2])
+    i_steeper = aci > aco
+    sin_alpha = jnp.where(i_steeper, sin_o, sin_i)
+    tan_beta = jnp.where(
+        i_steeper, sin_i / jnp.maximum(aci, 1e-20), sin_o / jnp.maximum(aco, 1e-20)
+    )
+    return a + b * d_cos * sin_alpha * tan_beta
+
+
+def _microfacet_eval(lb, wo, wi):
+    aco = jnp.abs(mf.cos_theta(wo))
+    aci = jnp.abs(mf.cos_theta(wi))
+    mid = wo + wi
+    ok = vm.dot(mid, mid) > 1e-16
+    wh = vm.normalize(mid)
+    wh = vm.face_forward(wh, jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0], wh.dtype), wh.shape))
+    f_color = _fresnel_of(lb, vm.dot(wi, wh))
+    ax, ay = lb.alpha[..., 0], lb.alpha[..., 1]
+    val = (
+        lb.albedo
+        * (mf.d(lb.distrib, ax, ay, wh) * mf.g(lb.distrib, ax, ay, wo, wi))[
+            ..., None
+        ]
+        * f_color
+        * vm.weak_recip(4.0 * aco * aci)[..., None]
+    )
+    zero_mask = (~ok) | (aco == 0.0) | (aci == 0.0)
+    return jnp.where(zero_mask[..., None], 0.0, val)
+
+
+def _fresnel_blend_eval(lb, wo, wi):
+    mid = wo + wi
+    ok = vm.dot(mid, mid) > 1e-16
+    wh = vm.normalize(mid)
+    aci = jnp.abs(mf.cos_theta(wi))
+    aco = jnp.abs(mf.cos_theta(wo))
+    rd, rs = lb.albedo, lb.specular
+    diffuse = (
+        (28.0 / 23.0 * INV_PI)
+        * rd
+        * (1.0 - rs)
+        * ((1.0 - (1.0 - 0.5 * aci) ** 5) * (1.0 - (1.0 - 0.5 * aco) ** 5))[
+            ..., None
+        ]
+    )
+    iw = vm.dot(wi, wh)
+    schlick_c = rs + ((1.0 - iw) ** 5)[..., None] * (1.0 - rs)
+    ax, ay = lb.alpha[..., 0], lb.alpha[..., 1]
+    denom = 4.0 * jnp.abs(iw) * jnp.maximum(aci, aco)
+    spec = (
+        mf.d(lb.distrib, ax, ay, wh) * vm.weak_recip(denom)
+    )[..., None] * schlick_c
+    return jnp.where(ok[..., None], diffuse + spec, 0.0)
+
+
+def eval_lobe(lb: Lobes, wo, wi):
+    """f(wo, wi) for one lobe slot; specular kinds evaluate to 0."""
+    k = lb.kind
+    lam = lb.albedo * INV_PI
+    on = lam * _oren_nayar_factor(lb, wo, wi)[..., None]
+    mfe = _microfacet_eval(lb, wo, wi)
+    fb = _fresnel_blend_eval(lb, wo, wi)
+    out = jnp.zeros_like(lam)
+    out = jnp.where(k[..., None] == LAMBERT, lam, out)
+    out = jnp.where(k[..., None] == OREN_NAYAR, on, out)
+    out = jnp.where(k[..., None] == MICROFACET, mfe, out)
+    out = jnp.where(k[..., None] == FRESNEL_BLEND, fb, out)
+    return out
+
+
+def pdf_lobe(lb: Lobes, wo, wi):
+    """Sampling density of one lobe slot (0 for delta kinds)."""
+    k = lb.kind
+    same = mf.same_hemisphere(wo, wi)
+    p_cos = jnp.where(same, cos_hemisphere_pdf(wi), 0.0)
+
+    mid = wo + wi
+    ok = vm.dot(mid, mid) > 1e-16
+    wh = vm.normalize(mid)
+    ax, ay = lb.alpha[..., 0], lb.alpha[..., 1]
+    p_mf = mf.pdf_wh(lb.distrib, ax, ay, wo, wh) * vm.weak_recip(
+        4.0 * vm.dot(wo, wh)
+    )
+    p_mf = jnp.where(same & ok, p_mf, 0.0)
+
+    p_fb = jnp.where(same & ok, 0.5 * (cos_hemisphere_pdf(wi) + p_mf), 0.0)
+
+    out = jnp.zeros_like(p_cos)
+    out = jnp.where((k == LAMBERT) | (k == OREN_NAYAR), p_cos, out)
+    out = jnp.where(k == MICROFACET, p_mf, out)
+    out = jnp.where(k == FRESNEL_BLEND, p_fb, out)
+    return jnp.maximum(out, 0.0)
+
+
+# ------------------------------- sample ------------------------------------
+
+
+def _refract_local(wo, eta_front, eta_back):
+    """Refract wo across the local z interface.
+    [ref: geometry/src/bxdf.rs:436-454]"""
+    entering = mf.cos_theta(wo) > 0.0
+    eta_i = jnp.where(entering, eta_front, eta_back)
+    eta_t = jnp.where(entering, eta_back, eta_front)
+    sign = jnp.where(entering, 1.0, -1.0)
+    normal = jnp.zeros_like(wo).at[..., 2].set(sign)
+    wi, tir = vm.refract(normal, wo, eta_i / eta_t)
+    return wi, tir
+
+
+def sample_lobe(lb: Lobes, wo, u2):
+    """Sample an incident direction from one lobe slot.
+
+    Returns (f, wi, pdf_or_pmf, is_delta). For delta kinds the third value
+    is the probability mass of the chosen branch.
+    """
+    k = lb.kind
+    u, v = u2[..., 0], u2[..., 1]
+
+    # Family A: cosine hemisphere (LAMBERT / OREN_NAYAR).
+    wi_cos = cos_sample_hemisphere(u2)
+    # Reference asserts wo.z >= 0 here; frames are built with the normal
+    # facing wo so flipping is a no-op in practice, kept for robustness.
+    wi_cos = wi_cos * jnp.where(mf.cos_theta(wo) < 0.0, -1.0, 1.0)[..., None]
+
+    # Family B: microfacet half-vector reflection.
+    ax, ay = lb.alpha[..., 0], lb.alpha[..., 1]
+    wh = mf.sample_wh(lb.distrib, ax, ay, wo, u2)
+    wi_mf = vm.reflect(wh, wo)
+
+    # Family C: mirror reflection about +z.
+    wi_mirror = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+
+    # Family D: refraction.
+    wi_refr, tir = _refract_local(wo, lb.eta[..., 0], lb.eta[..., 1])
+
+    # Family E: FresnelBlend two-strategy split on u.
+    u_fb_lo = jnp.minimum(u * 2.0, 1.0 - 1e-7)
+    u_fb_hi = jnp.mod(u * 2.0, 1.0)
+    wi_fb_cos = cos_sample_hemisphere(jnp.stack([u_fb_lo, v], axis=-1))
+    wh_fb = mf.sample_wh(
+        lb.distrib, ax, ay, wo, jnp.stack([u_fb_hi, v], axis=-1)
+    )
+    wi_fb_mf = vm.reflect(wh_fb, wo)
+    fb_diffuse = u < 0.5
+    wi_fb = jnp.where(fb_diffuse[..., None], wi_fb_cos, wi_fb_mf)
+
+    # Select wi by kind.
+    wi = wi_cos
+    wi = jnp.where(k[..., None] == MICROFACET, wi_mf, wi)
+    wi = jnp.where(k[..., None] == SPEC_MIRROR, wi_mirror, wi)
+    wi = jnp.where(k[..., None] == SPEC_TRANSMIT, wi_refr, wi)
+    wi = jnp.where(k[..., None] == FRESNEL_BLEND, wi_fb, wi)
+
+    # Hybrid dielectric: reflect with prob R, else refract.
+    # [ref: geometry/src/bxdf.rs:482-498]
+    r_coeff = fr.dielectric_refl(mf.cos_theta(wo), lb.eta[..., 0], lb.eta[..., 1])
+    # Spend v on the branch choice (u2 here is already the lobe-remapped pair).
+    diel_reflect = v < r_coeff
+    wi_diel = jnp.where(diel_reflect[..., None], wi_mirror, wi_refr)
+    wi = jnp.where(k[..., None] == SPEC_DIELECTRIC, wi_diel, wi)
+
+    # --- smooth f/pdf via shared eval ---
+    f_smooth = eval_lobe(lb, wo, wi)
+    pdf_smooth = pdf_lobe(lb, wo, wi)
+    # Microfacet / FB-specular samples below the horizon are rejected.
+    same = mf.same_hemisphere(wo, wi)
+    reject = ((k == MICROFACET) | ((k == FRESNEL_BLEND) & ~fb_diffuse)) & ~same
+    f_smooth = jnp.where(reject[..., None], 0.0, f_smooth)
+    pdf_smooth = jnp.where(reject, 0.0, pdf_smooth)
+
+    # --- delta f/pmf ---
+    aci = jnp.maximum(jnp.abs(mf.cos_theta(wi)), 0.0)
+    inv_aci = vm.weak_recip(aci)
+    f_mirror = _fresnel_of(lb, mf.cos_theta(wi)) * lb.albedo * inv_aci[..., None]
+    r_at_wi = fr.dielectric_refl(mf.cos_theta(wi), lb.eta[..., 0], lb.eta[..., 1])
+    f_refr = (1.0 - r_at_wi)[..., None] * lb.albedo * inv_aci[..., None]
+    f_refr = jnp.where(tir[..., None], 0.0, f_refr)
+    f_diel = jnp.where(
+        diel_reflect[..., None],
+        (r_coeff * inv_aci)[..., None] * lb.albedo,
+        f_refr,
+    )
+    pmf = jnp.ones_like(r_coeff)
+    pmf = jnp.where(
+        k == SPEC_DIELECTRIC,
+        jnp.where(diel_reflect, r_coeff, 1.0 - r_coeff),
+        pmf,
+    )
+
+    is_delta = is_delta_kind(k)
+    f = jnp.where(is_delta[..., None], 0.0, f_smooth)
+    f = jnp.where(k[..., None] == SPEC_MIRROR, f_mirror, f)
+    f = jnp.where(k[..., None] == SPEC_DIELECTRIC, f_diel, f)
+    f = jnp.where(k[..., None] == SPEC_TRANSMIT, f_refr, f)
+    p = jnp.where(is_delta, pmf, pdf_smooth)
+    p = jnp.where(k == NONE, 0.0, p)
+    f = jnp.where((k == NONE)[..., None], 0.0, f)
+    return f, wi, p, is_delta

@@ -1,11 +1,20 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
-multi-chip sharding paths are exercised without TPU hardware."""
+multi-chip sharding paths are exercised without TPU hardware.
+
+The container's sitecustomize registers the remote `axon` TPU backend and
+pins jax_platforms to it; every eager op would compile over the tunnel.
+Re-pin to CPU before any backend initializes.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
