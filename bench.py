@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: Cornell-box path trace, 1024x1024, 8 bounces.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = 100 Mrays/s/chip (BASELINE.md north-star target; the reference
+publishes no numbers). Rays counted are actual traced segments: alive
+closest-hit rays + alive shadow rays, summed on-device.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from pbrs_tpu.core import sampler as smp
+    from pbrs_tpu.geometry import camera as cam_mod
+    from pbrs_tpu.integrators import wavefront
+    from pbrs_tpu.scene import presets
+
+    size = 1024
+    depth = 8
+    chunk = 1 << 20  # pixels per launch (= full frame at 1024²)
+    warmup_samples = 1
+    bench_samples = 4
+
+    scene = presets.cornell_box()
+    cam = cam_mod.looking_at(
+        cam_mod.make_camera((size, size), 40.0),
+        (278, 278, -800), (278, 278, 0), (0, 1, 0),
+    )
+    scene = scene.replace(camera=cam)
+    sampler = smp.PCGSampler(0)
+
+    n = size * size
+    pix = jnp.arange(min(n, chunk), dtype=jnp.int32)
+
+    @jax.jit
+    def step(s):
+        rad, count = wavefront.render_samples(
+            scene, sampler, pix, s, max_depth=depth, msaa=2,
+            return_ray_count=True,
+        )
+        return jnp.sum(rad), count
+
+    # Warmup / compile.
+    for s in range(warmup_samples):
+        r, c = step(s)
+        r.block_until_ready()
+
+    t0 = time.time()
+    total_rays = 0.0
+    checksum = 0.0
+    for s in range(warmup_samples, warmup_samples + bench_samples):
+        r, c = step(s)
+        checksum += float(r)
+        total_rays += float(c)
+    elapsed = time.time() - t0
+
+    mrays = total_rays / elapsed / 1e6
+    result = {
+        "metric": "cornell_box_1024_path8_throughput",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / 100.0, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# {len(jax.devices())} device(s): {jax.devices()[0].device_kind}; "
+        f"{total_rays / 1e6:.0f}M rays in {elapsed:.2f}s; "
+        f"checksum {checksum:.3e}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,155 @@
+"""Next-event estimation with multiple importance sampling, vectorized.
+
+One light is chosen uniformly per ray among delta + area + env
+(reference src/directlighting.rs:58-99, with the env-arm index bug at
+directlighting.rs:76 fixed); the three arms are computed branchlessly and
+mask-combined. Two shadow batches per call: one for the light-sampled
+direction, one for the BSDF-sampled direction (shared by the area-MIS
+second arm and the env arm).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..bxdf import bsdf as bsdf_mod
+from ..core import vecmath as vm
+from ..geometry import ray as ray_mod
+from ..lights import lights as lt
+from ..shapes import intersect as isect_mod
+
+
+def _power2_heuristic(f_pdf, g_pdf):
+    """[ref: src/directlighting.rs:224-232]"""
+    f2 = f_pdf * f_pdf
+    g2 = g_pdf * g_pdf
+    return f2 / jnp.maximum(f2 + g2, 1e-30)
+
+
+def uniform_sample_one_light(
+    scene, lobes, frame, hit_pos, hit_normal, wo, u_select, u_light, u_scatter,
+    occlude_fn=None,
+):
+    """Estimate direct lighting at shading points.
+
+    All inputs are [N]-batched; returns radiance [N,3]. `occlude_fn(rays)`
+    performs the any-hit query (defaults to brute-force table occlusion).
+    """
+    if occlude_fn is None:
+        occlude_fn = lambda rays: isect_mod.occluded(scene.geom, rays)
+
+    n_delta = scene.delta_lights.count
+    n_area = scene.area_lights.count
+    has_env = 1 if scene.env.kind != lt.ENV_NONE else 0
+    n_lights = n_delta + n_area + has_env
+    if n_lights == 0:
+        return jnp.zeros_like(hit_pos)
+
+    chosen = jnp.minimum(
+        (u_select * n_lights).astype(jnp.int32), n_lights - 1
+    )
+    arm_delta = chosen < n_delta
+    arm_area = (chosen >= n_delta) & (chosen < n_delta + n_area)
+    arm_env = chosen >= n_delta + n_area
+
+    zero3 = jnp.zeros_like(hit_pos)
+    result = zero3
+
+    # ---------------- light-sampled arm (delta + area) ----------------
+    if n_delta + n_area > 0:
+        if n_delta > 0:
+            d_idx = jnp.clip(chosen, 0, n_delta - 1)
+            li_d, wi_d, target_d = lt.sample_delta(
+                scene.delta_lights, d_idx, hit_pos
+            )
+        if n_area > 0:
+            a_idx = jnp.clip(chosen - n_delta, 0, n_area - 1)
+            li_a, wi_a, pdf_a, pt_a = lt.sample_area(
+                scene.area_lights, a_idx, hit_pos, u_light
+            )
+        if n_delta > 0 and n_area > 0:
+            li_l = jnp.where(arm_delta[..., None], li_d, li_a)
+            wi_l = jnp.where(arm_delta[..., None], wi_d, wi_a)
+            target_l = jnp.where(arm_delta[..., None], target_d, pt_a)
+            pdf_l = jnp.where(arm_delta, 1.0, pdf_a)
+        elif n_delta > 0:
+            li_l, wi_l, target_l = li_d, wi_d, target_d
+            pdf_l = jnp.ones(hit_pos.shape[0], hit_pos.dtype)
+        else:
+            li_l, wi_l, target_l, pdf_l = li_a, wi_a, pt_a, pdf_a
+
+        f_l = bsdf_mod.eval_bsdf(lobes, frame, wo, wi_l) * jnp.abs(
+            vm.dot(hit_normal, wi_l)
+        )[..., None]
+        scatter_pdf = bsdf_mod.pdf_bsdf(lobes, frame, wo, wi_l)
+        shadow = ray_mod.spawn_limited_to(hit_pos, hit_normal, target_l)
+        occluded_l = occlude_fn(shadow)
+        # MIS weight: 1 for delta lights (mass), power-2 otherwise.
+        # [ref: src/directlighting.rs:141-145, 192]
+        weight = jnp.where(
+            arm_delta, 1.0, _power2_heuristic(pdf_l, scatter_pdf)
+        )
+        valid = (
+            (arm_delta | arm_area)
+            & ~occluded_l
+            & (pdf_l > 0.0)
+            & jnp.any(li_l > 0.0, axis=-1)
+        )
+        contrib = f_l * li_l * (weight * vm.weak_recip(pdf_l))[..., None]
+        result = result + jnp.where(valid[..., None], contrib, 0.0)
+
+    # ---------------- BSDF-sampled arm (area MIS + env) ----------------
+    if n_area > 0 or has_env:
+        f_b, wi_b, pdf_b, is_delta_b = bsdf_mod.sample_bsdf(
+            lobes, frame, wo, u_scatter
+        )
+        f_b = f_b * jnp.abs(vm.dot(hit_normal, wi_b))[..., None]
+
+        if n_area > 0:
+            a_idx = jnp.clip(chosen - n_delta, 0, n_area - 1)
+            li_b, pdf_light_b, hit_light, pt_b = lt.area_radiance_to(
+                scene.area_lights, a_idx, hit_pos, wi_b
+            )
+        else:
+            li_b = zero3
+            pdf_light_b = jnp.zeros(hit_pos.shape[0], hit_pos.dtype)
+            hit_light = jnp.zeros(hit_pos.shape[0], bool)
+            pt_b = hit_pos
+
+        # Shared shadow batch: bounded to the light point on the area arm,
+        # unbounded on the env arm.
+        shadow_b = ray_mod.spawn_limited_to(hit_pos, hit_normal, pt_b)
+        env_dir_rays = ray_mod.spawn(hit_pos, hit_normal, wi_b)
+        shadow_dir = jnp.where(arm_env[..., None], env_dir_rays.dir, shadow_b.dir)
+        shadow_tmax = jnp.where(arm_env, env_dir_rays.t_max, shadow_b.t_max)
+        shadow2 = ray_mod.RayBatch(
+            origin=jnp.where(arm_env[..., None], env_dir_rays.origin,
+                             shadow_b.origin),
+            dir=shadow_dir,
+            t_max=shadow_tmax,
+        )
+        occluded_b = occlude_fn(shadow2)
+
+        if n_area > 0:
+            weight_b = jnp.where(
+                is_delta_b, 1.0, _power2_heuristic(pdf_b, pdf_light_b)
+            )
+            valid_b = (
+                arm_area
+                & hit_light
+                & ~occluded_b
+                & (pdf_b > 0.0)
+                & (pdf_light_b > 0.0)
+                & jnp.any(f_b > 0.0, axis=-1)
+            )
+            contrib_b = f_b * li_b * (weight_b * vm.weak_recip(pdf_b))[..., None]
+            result = result + jnp.where(valid_b[..., None], contrib_b, 0.0)
+
+        if has_env:
+            li_env = lt.eval_env(scene.env, wi_b)
+            valid_e = arm_env & ~occluded_b & (pdf_b > 0.0)
+            contrib_e = f_b * li_env * vm.weak_recip(pdf_b)[..., None]
+            result = result + jnp.where(valid_e[..., None], contrib_e, 0.0)
+
+    # 1 / light_pdf = n_lights. [ref: src/directlighting.rs:98]
+    return result * float(n_lights)

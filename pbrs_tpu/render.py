@@ -1,0 +1,135 @@
+"""Render driver: film accumulation, sample batching, checkpoint/resume.
+
+The train-loop equivalent of reference src/main.rs:190-245, re-shaped for
+device execution: instead of a rayon fan-out over rows, the whole pixel
+grid renders one sample batch per device launch, accumulating into a film
+buffer. Film + sample count is the complete renderer state, so
+checkpointing is trivial (the reference has none, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import sampler as smp
+from .integrators import direct as direct_mod
+from .integrators import wavefront
+
+
+@dataclass
+class RenderStats:
+    wall_time: float = 0.0
+    camera_rays: int = 0
+    spp: int = 0
+    launches: int = 0
+    # Estimated total rays traced (camera + bounce + shadow), filled by the
+    # driver from depth / NEE configuration.
+    traced_rays: int = 0
+
+
+@dataclass
+class Film:
+    """Accumulated radiance + sample count; the full checkpointable state."""
+
+    width: int
+    height: int
+    accum: np.ndarray = field(default=None)
+    samples_done: int = 0
+
+    def __post_init__(self):
+        if self.accum is None:
+            self.accum = np.zeros((self.height * self.width, 3), np.float32)
+
+    def mean_image(self) -> np.ndarray:
+        n = max(self.samples_done, 1)
+        return (self.accum / n).reshape(self.height, self.width, 3)
+
+    def save(self, path: str) -> None:
+        np.savez(path, accum=self.accum, samples_done=self.samples_done,
+                 width=self.width, height=self.height)
+
+    @staticmethod
+    def load(path: str) -> "Film":
+        z = np.load(path)
+        return Film(
+            width=int(z["width"]), height=int(z["height"]),
+            accum=z["accum"], samples_done=int(z["samples_done"]),
+        )
+
+
+def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "path",
+                 seed: int = 0, chunk_pixels: int | None = None,
+                 progress: bool = False, film: Film | None = None,
+                 checkpoint_path: str | None = None,
+                 checkpoint_every: int = 0, use_nee: bool = True):
+    """Render the scene camera view. Returns (image [H,W,3], RenderStats).
+
+    spp is rounded up to a square (msaa² stratification, matching the
+    reference's msaa semantics, reference src/main.rs:197-203).
+    """
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    n = w * h
+    msaa = max(1, int(np.ceil(np.sqrt(spp))))
+    spp_total = msaa * msaa
+    if film is None:
+        film = Film(width=w, height=h)
+    sampler = smp.PCGSampler(seed)
+
+    chunk = min(n, chunk_pixels or (1 << 20))
+    n_chunks = (n + chunk - 1) // chunk
+    pad_n = n_chunks * chunk
+
+    if integrator == "path":
+        kernel = partial(wavefront.render_samples, max_depth=max_depth,
+                         msaa=msaa, use_nee=use_nee)
+    elif integrator == "direct":
+        def kernel(scene, sampler, pix, s, **_kw):
+            rays = wavefront.camera_rays(scene, sampler, pix, s, msaa)
+            return direct_mod.direct_radiance(scene, rays, sampler, pix, s,
+                                              depth=max_depth)
+    elif integrator == "normals":
+        def kernel(scene, sampler, pix, s, **_kw):
+            rays = wavefront.camera_rays(scene, sampler, pix, s, msaa)
+            return direct_mod.normal_visualizer(scene, rays)
+    elif integrator == "materials":
+        def kernel(scene, sampler, pix, s, **_kw):
+            rays = wavefront.camera_rays(scene, sampler, pix, s, msaa)
+            return direct_mod.material_visualizer(scene, rays)
+    else:
+        raise ValueError(f"unknown integrator {integrator!r}")
+
+    jitted = jax.jit(lambda sc, pix, s: kernel(sc, sampler, pix, s))
+
+    stats = RenderStats(spp=spp_total)
+    pixel_all = np.arange(pad_n, dtype=np.int32) % n  # pad wraps, cheap
+    t0 = time.time()
+    for s in range(film.samples_done, spp_total):
+        for c in range(n_chunks):
+            pix = jnp.asarray(pixel_all[c * chunk:(c + 1) * chunk])
+            rad = np.asarray(jitted(scene, pix, s))
+            lo, hi = c * chunk, min((c + 1) * chunk, n)
+            film.accum[lo:hi] += rad[: hi - lo]
+            stats.launches += 1
+        film.samples_done = s + 1
+        stats.camera_rays += n
+        if progress:
+            print(f"  sample {s + 1}/{spp_total}", flush=True)
+        if checkpoint_path and checkpoint_every and (
+            (s + 1) % checkpoint_every == 0
+        ):
+            film.save(checkpoint_path)
+    stats.wall_time = time.time() - t0
+    # Ray accounting: per camera ray per bounce: 1 closest-hit + up to 2
+    # shadow batches when NEE is on.
+    rays_per_sample = max_depth * (3 if (use_nee and scene.num_lights) else 1)
+    stats.traced_rays = stats.camera_rays * rays_per_sample
+    if checkpoint_path:
+        film.save(checkpoint_path)
+    return film.mean_image(), stats
