@@ -23,3 +23,11 @@ Layering (mirrors reference crate DAG, reference Cargo.toml:44-53):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry flows through matmuls (camera basis, one-hot table lookups,
+# transform einsums). TPU matmuls default to bf16 inputs — an 8-bit
+# mantissa turns a wall at x=554 into x=552. Force true-f32 MXU passes;
+# these matmuls are a negligible fraction of the frame.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -28,6 +28,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
+from ..core import gather as gth
 from ..core import vecmath as vm
 from . import fresnel as fr
 from . import microfacet as mf
@@ -65,14 +66,12 @@ class Lobes:
 
 
 def slot(lobes: Lobes, l) -> Lobes:
-    """View of slot l. `l` may be an int or an int array (per-lane gather)."""
+    """View of slot l. `l` may be an int or an int array (per-lane
+    selection, done with one-hot masking — TPU gathers are slow)."""
     if isinstance(l, int):
         pick = lambda a: a[..., l, :] if a.ndim > lobes.kind.ndim else a[..., l]
     else:
-        def pick(a):
-            if a.ndim > lobes.kind.ndim:
-                return jnp.take_along_axis(a, l[..., None, None], axis=-2)[..., 0, :]
-            return jnp.take_along_axis(a, l[..., None], axis=-1)[..., 0]
+        pick = lambda a: gth.select_slot(a, l)
     return Lobes(*(pick(getattr(lobes, f)) for f in (
         "kind", "albedo", "specular", "alpha", "distrib", "fr_kind",
         "eta", "eta_t", "k")))

@@ -106,27 +106,17 @@ def refract(normal, wi, ni_over_no):
 def make_coord_system(v):
     """Two unit vectors forming an orthonormal basis with unit `v`.
 
-    Branchless analogue of reference make_coord_system (math/src/hcm.rs:595-605):
-    zero out the smallest-|component| axis, rotate the remaining two.
-    Returns (v1, v2) with [v, v1, v2] right-handed per reference convention
-    (v2 = v × v1).
+    Branchless, gather-free ONB (Duff et al. 2017, "Building an Orthonormal
+    Basis, Revisited") — replaces the reference's argmin-axis construction
+    (math/src/hcm.rs:595-605), which needs per-lane index gathers on TPU.
+    Returns (v1, v2) with v1 × v2 = v (so v × v1 = v2, right-handed).
     """
-    ax = jnp.abs(v)
-    # i0 = argmin |v[i]| ; build v1 with v1[i0]=0, v1[i1]=v[i2], v1[i2]=-v[i1]
-    i0 = jnp.argmin(ax, axis=-1)
-    i1 = (i0 + 1) % 3
-    i2 = (i0 + 2) % 3
-    idx = jnp.arange(3)
-    shape = v.shape[:-1] + (3,)
-    take = lambda a, i: jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
-    v_i1 = take(v, i1)
-    v_i2 = take(v, i2)
-    v1 = jnp.zeros(shape, v.dtype)
-    one_hot_i1 = (idx == i1[..., None]).astype(v.dtype)
-    one_hot_i2 = (idx == i2[..., None]).astype(v.dtype)
-    v1 = one_hot_i1 * v_i2[..., None] + one_hot_i2 * (-v_i1)[..., None]
-    v1 = normalize(v1)
-    v2 = normalize(cross(v, v1))
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    s = jnp.where(z >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + z)
+    b = x * y * a
+    v1 = vec3(1.0 + s * x * x * a, s * b, -s * x)
+    v2 = vec3(b, s + y * y * a, -y)
     return v1, v2
 
 

@@ -45,16 +45,15 @@ def direct_radiance(scene, rays, sampler, pixel_idx, sample_idx, depth=5,
         )
         alive = alive & hit.hit
 
-        emit = mat_mod.emission_of(scene.materials, hit.mat_id)
+        lobes, emit = mat_mod.shading_at(
+            scene.materials, scene.textures, hit.mat_id, hit.uv, hit.pos
+        )
         emissive = jnp.any(emit > 0.0, axis=-1)
         radiance = radiance + jnp.where(
             (alive & emissive)[..., None], beta * emit, 0.0
         )
         alive = alive & ~emissive
 
-        lobes = mat_mod.lobes_at(
-            scene.materials, scene.textures, hit.mat_id, hit.uv, hit.pos
-        )
         frame = bsdf_mod.make_frame(hit.normal, hit.dpdu)
         u_sel = sampler.u1(pixel_idx, sample_idx, bounce, smp.DIM_LIGHT_SELECT)
         u_light = sampler.u2(pixel_idx, sample_idx, bounce, smp.DIM_LIGHT_UV)

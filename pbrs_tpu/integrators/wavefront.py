@@ -58,10 +58,13 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
         ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
         hit = intersect_fn(rays)
 
+        # Shading setup: one packed material lookup yields lobes + emission.
+        lobes, emit = mat_mod.shading_at(
+            scene.materials, scene.textures, hit.mat_id, hit.uv, hit.pos
+        )
         # Emitted light at the hit (or escape to the environment) counts only
         # on camera rays and after delta bounces; NEE covers the rest.
         # [ref: pathintegrator.rs:19-22]
-        emit = mat_mod.emission_of(scene.materials, hit.mat_id)
         env = lt.eval_env(scene.env, rays.dir)
         direct_seen = jnp.where(hit.hit[..., None], emit, env)
         if use_nee:
@@ -76,10 +79,6 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
 
         alive = alive & hit.hit
 
-        # Shading setup.
-        lobes = mat_mod.lobes_at(
-            scene.materials, scene.textures, hit.mat_id, hit.uv, hit.pos
-        )
         frame = bsdf_mod.make_frame(hit.normal, hit.dpdu)
         wo = hit.wo
 

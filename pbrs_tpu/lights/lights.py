@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from ..core import gather as gth
 from ..core import vecmath as vm
 from . import sample_shape as ss
 
@@ -30,7 +31,9 @@ class DeltaLights:
     position: jnp.ndarray  # [D,3] point position / distant casting_dir
     color: jnp.ndarray  # [D,3] intensity / radiance
     world_radius: jnp.ndarray  # [] scalar (distant light visibility range)
+    packed: jnp.ndarray = None  # [D,C]
     count: int = struct.field(pytree_node=False, default=0)
+    layout: tuple = struct.field(pytree_node=False, default=())
 
 
 @struct.dataclass
@@ -41,7 +44,9 @@ class AreaLights:
     p1: jnp.ndarray  # [A,3]
     p2: jnp.ndarray  # [A,3]
     scalar: jnp.ndarray  # [A]
+    packed: jnp.ndarray = None  # [A,C]
     count: int = struct.field(pytree_node=False, default=0)
+    layout: tuple = struct.field(pytree_node=False, default=())
 
 
 @struct.dataclass
@@ -53,25 +58,44 @@ class EnvLight:
     scale: jnp.ndarray = None  # [3]
 
 
-def empty_delta() -> DeltaLights:
+def _pack(arrays):
+    packed, layout = gth.pack_fields(arrays)
+    layout = tuple(
+        (off, tuple(shp), np.dtype(dt).name) for off, shp, dt in layout
+    )
+    return jnp.asarray(packed), layout
+
+
+def _make_delta(kind, position, color, world_radius, count) -> DeltaLights:
+    packed, layout = _pack([kind, position, color])
     return DeltaLights(
-        kind=jnp.zeros(1, jnp.int32),
-        position=jnp.zeros((1, 3), jnp.float32),
-        color=jnp.zeros((1, 3), jnp.float32),
-        world_radius=jnp.asarray(1.0, jnp.float32),
-        count=0,
+        kind=jnp.asarray(kind), position=jnp.asarray(position),
+        color=jnp.asarray(color), world_radius=jnp.asarray(world_radius),
+        packed=packed, count=count, layout=layout,
+    )
+
+
+def _make_area(shape_kind, emit, p0, p1, p2, scalar, count) -> AreaLights:
+    packed, layout = _pack([shape_kind, emit, p0, p1, p2, scalar])
+    return AreaLights(
+        shape_kind=jnp.asarray(shape_kind), emit=jnp.asarray(emit),
+        p0=jnp.asarray(p0), p1=jnp.asarray(p1), p2=jnp.asarray(p2),
+        scalar=jnp.asarray(scalar), packed=packed, count=count, layout=layout,
+    )
+
+
+def empty_delta() -> DeltaLights:
+    return _make_delta(
+        np.zeros(1, np.int32), np.zeros((1, 3), np.float32),
+        np.zeros((1, 3), np.float32), 1.0, 0,
     )
 
 
 def empty_area() -> AreaLights:
-    return AreaLights(
-        shape_kind=jnp.zeros(1, jnp.int32),
-        emit=jnp.zeros((1, 3), jnp.float32),
-        p0=jnp.zeros((1, 3), jnp.float32),
-        p1=jnp.asarray([[1.0, 0, 0]], jnp.float32),
-        p2=jnp.asarray([[0, 1.0, 0]], jnp.float32),
-        scalar=jnp.ones(1, jnp.float32),
-        count=0,
+    return _make_area(
+        np.zeros(1, np.int32), np.zeros((1, 3), np.float32),
+        np.zeros((1, 3), np.float32), np.asarray([[1.0, 0, 0]], np.float32),
+        np.asarray([[0, 1.0, 0]], np.float32), np.ones(1, np.float32), 0,
     )
 
 
@@ -153,14 +177,12 @@ def eval_env(env: EnvLight, directions):
     return env.image[yi, xi] * env.scale
 
 
-def area_params(lights: AreaLights, idx):
-    """Gather per-ray shape params for chosen area-light indices."""
-    return {
-        "p0": lights.p0[idx],
-        "p1": lights.p1[idx],
-        "p2": lights.p2[idx],
-        "scalar": lights.scalar[idx],
-    }
+def area_rows(lights: AreaLights, idx):
+    """One packed lookup -> (shape_kind, emit, params-dict) for chosen
+    area-light indices."""
+    rows = gth.lookup_rows(lights.packed, idx, max(lights.count, 1))
+    kind, emit, p0, p1, p2, scalar = gth.unpack_fields(rows, lights.layout)
+    return kind, emit, {"p0": p0, "p1": p1, "p2": p2, "scalar": scalar}
 
 
 def sample_delta(lights: DeltaLights, idx, hit_pos):
@@ -168,9 +190,8 @@ def sample_delta(lights: DeltaLights, idx, hit_pos):
     Returns (radiance [N,3], wi unit [N,3], vis_target [N,3]).
     The visibility segment is hit_pos -> vis_target.
     [ref: light/src/lib.rs:66-92]"""
-    kind = lights.kind[idx]
-    p = lights.position[idx]
-    c = lights.color[idx]
+    rows = gth.lookup_rows(lights.packed, idx, max(lights.count, 1))
+    kind, p, c = gth.unpack_fields(rows, lights.layout)
     # Point light.
     to_l = p - hit_pos
     d2 = jnp.maximum(vm.dot(to_l, to_l), 1e-30)
@@ -190,14 +211,13 @@ def sample_area(lights: AreaLights, idx, hit_pos, u2):
     """Sample incident radiance from a chosen area light.
     Returns (radiance [N,3], wi unit [N,3], pdf [N], point_on_light [N,3]).
     [ref: light/src/lib.rs:154-172]"""
-    params = area_params(lights, idx)
-    kind = lights.shape_kind[idx]
+    kind, emit, params = area_rows(lights, idx)
     pt, n_l = ss.sample_towards(kind, params, hit_pos, u2)
     wi = vm.normalize(pt - hit_pos)
     # One-sided emission: radiance only if the light front side faces us.
     # [ref: light/src/lib.rs:127-133]
     facing = vm.dot(n_l, -wi) > 0.0
-    radiance = jnp.where(facing[..., None], lights.emit[idx], 0.0)
+    radiance = jnp.where(facing[..., None], emit, 0.0)
     pdf = ss.pdf_at(kind, params, hit_pos, wi)
     return radiance, wi, pdf, pt
 
@@ -206,13 +226,12 @@ def area_radiance_to(lights: AreaLights, idx, hit_pos, wi):
     """BSDF-sampled MIS arm: does direction wi hit the chosen light, and at
     what pdf? Returns (radiance [N,3], pdf [N], hit_mask [N], point [N,3]).
     [ref: light/src/lib.rs:141-152]"""
-    params = area_params(lights, idx)
-    kind = lights.shape_kind[idx]
+    kind, emit, params = area_rows(lights, idx)
     wi_n = vm.normalize(wi)
     ok, t, n_l = ss.intersect_shape(kind, params, hit_pos, wi_n)
     pdf = ss.pdf_at(kind, params, hit_pos, wi_n)
     pt = hit_pos + t[..., None] * wi_n
-    radiance = jnp.where(ok[..., None], lights.emit[idx], 0.0)
+    radiance = jnp.where(ok[..., None], emit, 0.0)
     return radiance, pdf, ok, pt
 
 
@@ -248,28 +267,23 @@ class LightsBuilder:
 
     def build(self):
         if self.delta:
-            delta = DeltaLights(
-                kind=jnp.asarray([d[0] for d in self.delta], jnp.int32),
-                position=jnp.asarray(
-                    np.stack([np.asarray(d[1], np.float32) for d in self.delta])
-                ),
-                color=jnp.asarray(
-                    np.stack([np.asarray(d[2], np.float32) for d in self.delta])
-                ),
-                world_radius=jnp.asarray(self.world_radius, jnp.float32),
-                count=len(self.delta),
+            delta = _make_delta(
+                np.asarray([d[0] for d in self.delta], np.int32),
+                np.stack([np.asarray(d[1], np.float32) for d in self.delta]),
+                np.stack([np.asarray(d[2], np.float32) for d in self.delta]),
+                self.world_radius, len(self.delta),
             )
         else:
             delta = empty_delta()
         if self.area:
-            f3 = lambda i: jnp.asarray(
-                np.stack([np.asarray(a[i], np.float32).reshape(3) for a in self.area])
+            f3 = lambda i: np.stack(
+                [np.asarray(a[i], np.float32).reshape(3) for a in self.area]
             )
-            area = AreaLights(
-                shape_kind=jnp.asarray([a[0] for a in self.area], jnp.int32),
-                emit=f3(1), p0=f3(2), p1=f3(3), p2=f3(4),
-                scalar=jnp.asarray([float(a[5]) for a in self.area], jnp.float32),
-                count=len(self.area),
+            area = _make_area(
+                np.asarray([a[0] for a in self.area], np.int32),
+                f3(1), f3(2), f3(3), f3(4),
+                np.asarray([float(a[5]) for a in self.area], np.float32),
+                len(self.area),
             )
         else:
             area = empty_area()

@@ -24,6 +24,7 @@ from flax import struct
 from ..bxdf import lobes as lb
 from ..bxdf import microfacet as mf
 from ..bxdf import fresnel as fr
+from ..core import gather as gth
 from ..textures import textures as tex
 
 MAX_LOBES = 5
@@ -42,45 +43,54 @@ class MaterialTable:
     k: jnp.ndarray  # [M,L,3]
     tex_id: jnp.ndarray  # [M,L] int32, -1 = solid albedo
     emission: jnp.ndarray  # [M,3]
+    packed: jnp.ndarray  # [M,C] all fields packed for one-shot row lookup
     textured_slots: tuple = struct.field(pytree_node=False, default=())
+    layout: tuple = struct.field(pytree_node=False, default=())
+
+    @property
+    def num_materials(self):
+        return self.kind.shape[0]
+
+
+def shading_at(table: MaterialTable, textures: tex.TextureTable, mat_id, uv,
+               pos):
+    """Instantiate (Lobes, emission) for a hit batch in ONE packed-table
+    lookup. mat_id [N], uv [N,2], pos [N,3]. Equivalent of `bxdfs_at` +
+    `emission` (material/src/lib.rs:22-26)."""
+    safe = jnp.maximum(mat_id, 0)
+    rows = gth.lookup_rows(table.packed, safe, table.num_materials)
+    (kind, albedo, specular, alpha, distrib, fr_kind, eta, eta_t, k, tex_id,
+     emission) = gth.unpack_fields(rows, table.layout)
+    # Overlay textures on slots that actually use them (static slot list).
+    for slot in table.textured_slots:
+        tid = tex_id[:, slot]
+        value = tex.eval_texture(textures, tid, uv, pos)
+        use = tid >= 0
+        albedo = albedo.at[:, slot, :].set(
+            jnp.where(use[..., None], value, albedo[:, slot, :])
+        )
+    hit_ok = mat_id >= 0
+    kind = jnp.where(hit_ok[..., None], kind, lb.NONE)
+    emission = jnp.where(hit_ok[..., None], emission, 0.0)
+    lobes = lb.Lobes(
+        kind=kind, albedo=albedo, specular=specular, alpha=alpha,
+        distrib=distrib, fr_kind=fr_kind, eta=eta, eta_t=eta_t, k=k,
+    )
+    return lobes, emission
 
 
 def emission_of(table: MaterialTable, mat_id):
     """Per-hit emission; mat_id < 0 (miss) yields black.
     [ref: material/src/lib.rs:294-296]"""
     safe = jnp.maximum(mat_id, 0)
-    e = table.emission[safe]
+    rows = gth.lookup_rows(table.packed, safe, table.num_materials)
+    e = gth.unpack_fields(rows, table.layout)[-1]
     return jnp.where((mat_id >= 0)[..., None], e, 0.0)
 
 
 def lobes_at(table: MaterialTable, textures: tex.TextureTable, mat_id, uv, pos
              ) -> lb.Lobes:
-    """Instantiate the lobe batch for hits. mat_id [N], uv [N,2], pos [N,3].
-    Equivalent of `bxdfs_at` (material/src/lib.rs:22)."""
-    safe = jnp.maximum(mat_id, 0)
-    gather = lambda a: a[safe]
-    albedo = gather(table.albedo)
-    # Overlay textures on slots that actually use them (static slot list).
-    for slot in table.textured_slots:
-        tid = table.tex_id[safe, slot]
-        value = tex.eval_texture(textures, tid, uv, pos)
-        use = tid >= 0
-        albedo = albedo.at[:, slot, :].set(
-            jnp.where(use[..., None], value, albedo[:, slot, :])
-        )
-    kind = gather(table.kind)
-    kind = jnp.where((mat_id >= 0)[..., None], kind, lb.NONE)
-    return lb.Lobes(
-        kind=kind,
-        albedo=albedo,
-        specular=gather(table.specular),
-        alpha=gather(table.alpha),
-        distrib=gather(table.distrib),
-        fr_kind=gather(table.fr_kind),
-        eta=gather(table.eta),
-        eta_t=gather(table.eta_t),
-        k=gather(table.k),
-    )
+    return shading_at(table, textures, mat_id, uv, pos)[0]
 
 
 class _Lobe:
@@ -251,11 +261,20 @@ class MaterialBuilder:
                 tex_id[i, l] = lobe.tex_id
                 if lobe.tex_id >= 0:
                     textured.add(l)
+        packed, layout = gth.pack_fields([
+            kind, albedo, specular, alpha, distrib, fr_kind, eta, eta_t, kk,
+            tex_id, emission,
+        ])
+        layout = tuple(
+            (off, tuple(shape), np.dtype(dt).name) for off, shape, dt in layout
+        )
         return MaterialTable(
             kind=jnp.asarray(kind), albedo=jnp.asarray(albedo),
             specular=jnp.asarray(specular), alpha=jnp.asarray(alpha),
             distrib=jnp.asarray(distrib), fr_kind=jnp.asarray(fr_kind),
             eta=jnp.asarray(eta), eta_t=jnp.asarray(eta_t), k=jnp.asarray(kk),
             tex_id=jnp.asarray(tex_id), emission=jnp.asarray(emission),
+            packed=jnp.asarray(packed),
             textured_slots=tuple(sorted(textured)),
+            layout=layout,
         )

@@ -24,6 +24,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
+from ..core import gather as gth
 from ..core import vecmath as vm
 from ..geometry import ray as ray_mod
 from .tables import GeometryTables, SPHERE, QUAD, TRIANGLE, DISK
@@ -159,9 +160,8 @@ def disk_t(rays, geom):
 # the full interaction. Each works on [N] rays against [N] gathered prims.
 
 
-def _sphere_detail(rays, t, idx, geom):
-    c = geom.sph_center[idx]
-    r = geom.sph_radius[idx]
+def _sphere_detail(rays, t, params):
+    c, r, mat = params
     p_raw = ray_mod.position_at(rays, t)
     n = vm.normalize(p_raw - c)
     # Push the hit point slightly outside the sphere surface.
@@ -179,13 +179,11 @@ def _sphere_detail(rays, t, idx, geom):
     )
     n = vm.face_forward(n, -rays.dir)
     # Keep dpdu perpendicular to the (possibly flipped) normal: it already is.
-    return pos, n, uv, dpdu, geom.sph_mat[idx]
+    return pos, n, uv, dpdu, mat
 
 
-def _quad_detail(rays, t, idx, geom):
-    origin = geom.quad_origin[idx]
-    eu = geom.quad_u[idx]
-    ev = geom.quad_v[idx]
+def _quad_detail(rays, t, params):
+    origin, eu, ev, mat = params
     n_raw = vm.cross(eu, ev)
     p = ray_mod.position_at(rays, t)
     d = p - origin
@@ -195,12 +193,11 @@ def _quad_detail(rays, t, idx, geom):
     pos = origin + u[..., None] * eu + v[..., None] * ev
     n = vm.face_forward(vm.normalize(n_raw), -rays.dir)
     uv = jnp.stack([u, v], axis=-1)
-    return pos, n, uv, eu, geom.quad_mat[idx]
+    return pos, n, uv, eu, mat
 
 
-def _tri_detail(rays, t, idx, geom):
-    p0, p1, p2 = geom.tri_p0[idx], geom.tri_p1[idx], geom.tri_p2[idx]
-    sub = lambda tab: tab[idx]
+def _tri_detail(rays, t, params):
+    p0, p1, p2, n0, n1, n2, uv0, uv1, uv2, mat = params
     n_geo = vm.normalize(vm.cross(p0 - p1, p2 - p1))
     p = ray_mod.position_at(rays, t)
     nrm = n_geo
@@ -212,28 +209,18 @@ def _tri_detail(rays, t, idx, geom):
     b0, b1, b2 = b0 / total, b1 / total, b2 / total
     pos = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
     # Interpolate shading normal / uv from vertex attributes.
-    ns = (
-        b0[..., None] * sub(geom.tri_n0)
-        + b1[..., None] * sub(geom.tri_n1)
-        + b2[..., None] * sub(geom.tri_n2)
-    )
+    ns = b0[..., None] * n0 + b1[..., None] * n1 + b2[..., None] * n2
     ns = vm.normalize(ns)
     degenerate = vm.dot(ns, ns) < 0.5
     ns = jnp.where(degenerate[..., None], n_geo, ns)
-    uv = (
-        b0[..., None] * sub(geom.tri_uv0)
-        + b1[..., None] * sub(geom.tri_uv1)
-        + b2[..., None] * sub(geom.tri_uv2)
-    )
+    uv = b0[..., None] * uv0 + b1[..., None] * uv1 + b2[..., None] * uv2
     n = vm.face_forward(ns, -rays.dir)
     dpdu = p1 - p0
-    return pos, n, uv, dpdu, geom.tri_mat[idx]
+    return pos, n, uv, dpdu, mat
 
 
-def _disk_detail(rays, t, idx, geom):
-    c = geom.disk_center[idx]
-    nd = geom.disk_normal[idx]
-    radial = geom.disk_radial[idx]
+def _disk_detail(rays, t, params):
+    c, nd, radial, mat = params
     p = ray_mod.position_at(rays, t)
     cp = p - c
     cp = cp - vm.dot(cp, nd)[..., None] * nd
@@ -245,7 +232,7 @@ def _disk_detail(rays, t, idx, geom):
     u = jnp.mod(u_angle / jnp.pi * 0.5 + 1.0, 1.0)
     v = vm.length(cp) / jnp.maximum(vm.length(radial), 1e-20)
     uv = jnp.stack([u, v], axis=-1)
-    return c + cp, n, uv, tangent, geom.disk_mat[idx]
+    return c + cp, n, uv, tangent, mat
 
 
 # ------------------------------- dispatch ---------------------------------
@@ -258,24 +245,37 @@ def intersect(geom: GeometryTables, rays: ray_mod.RayBatch) -> Hit:
     counts = [t.shape[1] for t in ts]
     t_all = jnp.concatenate(ts, axis=1)  # [N, K]
     win = jnp.argmin(t_all, axis=1)
-    t_best = jnp.take_along_axis(t_all, win[:, None], axis=1)[:, 0]
+    t_best = jnp.min(t_all, axis=1)
     hit = jnp.isfinite(t_best)
     t_safe = jnp.where(hit, t_best, 1.0)
 
-    # Winner's (type, local index).
-    offsets = jnp.cumsum(jnp.asarray([0] + counts[:-1]))
-    ptype = jnp.searchsorted(jnp.cumsum(jnp.asarray(counts)), win, side="right")
-    local = win - offsets[ptype]
+    # Winner's (type, local index) — static counts, pure arithmetic.
+    s_, q_, tr_ = counts[0], counts[0] + counts[1], sum(counts[:3])
+    ptype = jnp.where(
+        win < s_, SPHERE,
+        jnp.where(win < q_, QUAD, jnp.where(win < tr_, TRIANGLE, DISK)),
+    )
+    local = win - jnp.where(
+        win < s_, 0, jnp.where(win < q_, s_, jnp.where(win < tr_, q_, tr_))
+    )
 
+    packed = {
+        SPHERE: (geom.sph_packed, geom.sph_layout, counts[0]),
+        QUAD: (geom.quad_packed, geom.quad_layout, counts[1]),
+        TRIANGLE: (geom.tri_packed, geom.tri_layout, counts[2]),
+        DISK: (geom.disk_packed, geom.disk_layout, counts[3]),
+    }
     details = []
-    for kind, fn, count in (
-        (SPHERE, _sphere_detail, counts[0]),
-        (QUAD, _quad_detail, counts[1]),
-        (TRIANGLE, _tri_detail, counts[2]),
-        (DISK, _disk_detail, counts[3]),
+    for kind, fn in (
+        (SPHERE, _sphere_detail),
+        (QUAD, _quad_detail),
+        (TRIANGLE, _tri_detail),
+        (DISK, _disk_detail),
     ):
+        mat, layout, count = packed[kind]
         idx = jnp.clip(jnp.where(ptype == kind, local, 0), 0, count - 1)
-        details.append(fn(rays, t_safe, idx, geom))
+        rows = gth.lookup_rows(mat, idx, count)
+        details.append(fn(rays, t_safe, gth.unpack_fields(rows, layout)))
 
     def select(field_i):
         out = details[0][field_i]

@@ -22,6 +22,8 @@ import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
+from ..core import gather as gth
+
 SPHERE, QUAD, TRIANGLE, DISK = 0, 1, 2, 3
 
 
@@ -48,6 +50,16 @@ class GeometryTables:
     disk_normal: jnp.ndarray  # [D,3]
     disk_radial: jnp.ndarray  # [D,3]
     disk_mat: jnp.ndarray  # [D] int32
+    # Per-type packed parameter matrices (one-shot row lookup in the
+    # intersection detail pass; see core/gather.py).
+    sph_packed: jnp.ndarray = None
+    quad_packed: jnp.ndarray = None
+    tri_packed: jnp.ndarray = None
+    disk_packed: jnp.ndarray = None
+    sph_layout: tuple = struct.field(pytree_node=False, default=())
+    quad_layout: tuple = struct.field(pytree_node=False, default=())
+    tri_layout: tuple = struct.field(pytree_node=False, default=())
+    disk_layout: tuple = struct.field(pytree_node=False, default=())
 
 
 class GeometryBuilder:
@@ -208,6 +220,18 @@ class GeometryBuilder:
             np.array([r[3] for r in self.disks], np.int32)
             if self.disks else np.zeros(1, np.int32)
         )
+        def pack(arrays):
+            packed, layout = gth.pack_fields(arrays)
+            layout = tuple(
+                (off, tuple(shp), np.dtype(dt).name)
+                for off, shp, dt in layout
+            )
+            return jnp.asarray(packed), layout
+
+        sph_packed, sph_layout = pack([sph[0], sph[1], sph_mat])
+        quad_packed, quad_layout = pack([quad[0], quad[1], quad[2], quad_mat])
+        tri_packed, tri_layout = pack(tri + [tri_mat])
+        disk_packed, disk_layout = pack([disk[0], disk[1], disk[2], disk_mat])
         as_j = lambda xs: [jnp.asarray(x) for x in xs]
         sph, quad, tri, disk = as_j(sph), as_j(quad), as_j(tri), as_j(disk)
         return GeometryTables(
@@ -220,4 +244,8 @@ class GeometryBuilder:
             tri_mat=jnp.asarray(tri_mat),
             disk_center=disk[0], disk_normal=disk[1], disk_radial=disk[2],
             disk_mat=jnp.asarray(disk_mat),
+            sph_packed=sph_packed, quad_packed=quad_packed,
+            tri_packed=tri_packed, disk_packed=disk_packed,
+            sph_layout=sph_layout, quad_layout=quad_layout,
+            tri_layout=tri_layout, disk_layout=disk_layout,
         )

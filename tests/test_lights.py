@@ -102,13 +102,10 @@ def test_quad_sample_pdf_consistency():
 
 
 def test_delta_point_light_falloff():
-    dl = lt.DeltaLights(
-        kind=jnp.asarray([lt.POINT]),
-        position=jnp.asarray([[0.0, 5.0, 0.0]]),
-        color=jnp.asarray([[100.0, 100.0, 100.0]]),
-        world_radius=jnp.asarray(10.0),
-        count=1,
-    )
+    b = lt.LightsBuilder()
+    b.add_point((0.0, 5.0, 0.0), (100.0, 100.0, 100.0))
+    b.world_radius = 10.0
+    dl, _, _ = b.build()
     pos = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 4.0, 0.0]], jnp.float32)
     idx = jnp.zeros(2, jnp.int32)
     rad, wi, tgt = lt.sample_delta(dl, idx, pos)
@@ -126,15 +123,10 @@ def test_env_gradient_eval():
 
 
 def test_area_radiance_one_sided():
-    al = lt.AreaLights(
-        shape_kind=jnp.asarray([ss.QUAD], jnp.int32),
-        emit=jnp.asarray([[5.0, 5.0, 5.0]]),
-        p0=jnp.asarray([[-1.0, 2.0, -1.0]]),
-        p1=jnp.asarray([[2.0, 0.0, 0.0]]),
-        p2=jnp.asarray([[0.0, 0.0, 2.0]]),
-        scalar=jnp.ones(1),
-        count=1,
-    )
+    b = lt.LightsBuilder()
+    b.add_area_quad((5.0, 5.0, 5.0), (-1.0, 2.0, -1.0), (2.0, 0.0, 0.0),
+                    (0.0, 0.0, 2.0))
+    _, al, _ = b.build()
     # Quad normal = u×v = (2,0,0)×(0,0,2) = (0,-4,0): faces -y (downward).
     below = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
     above = jnp.asarray([[0.0, 4.0, 0.0]], jnp.float32)
