@@ -1,0 +1,265 @@
+"""Pallas ray-tracing kernels over typed primitive tables.
+
+The jnp brute-force sweep (shapes/intersect.py) materializes [N, K]
+intermediates in HBM; these kernels keep a ray tile resident in VMEM,
+stream the (tiny) primitive tables from SMEM scalars, and loop over
+primitives on the VPU — one HBM read of the rays and one write of
+(t, prim_index) per tile. This is the closest-hit / any-hit pair that
+replaces the reference's recursive BVH walk for table scenes
+(reference tlas/src/bvh.rs:77-113); the two-level BVH kernel for meshes
+builds on the same structure.
+
+Ray layout: component arrays reshaped to [rows, 128] (lanes = rays).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry import ray as ray_mod
+from ..shapes.tables import GeometryTables
+
+LANES = 128
+BLOCK_ROWS = 64  # 64 x 128 = 8192 rays per tile
+T_MIN = ray_mod.T_MIN
+BIG = 3.0e38
+
+
+def _pad_rows(n):
+    rows = -(-n // LANES)
+    rows = -(-rows // BLOCK_ROWS) * BLOCK_ROWS
+    return rows
+
+
+def prim_scalars(geom: GeometryTables):
+    """Flatten primitive tables to a single f32 scalar bank [P, 16]:
+    per-prim row = type-specific params. Order: spheres, quads, tris, disks
+    (matching the global prim-index convention of shapes/intersect.py)."""
+    sph_c = np.asarray(geom.sph_center)
+    sph_r = np.asarray(geom.sph_radius)
+    q_o = np.asarray(geom.quad_origin)
+    q_u = np.asarray(geom.quad_u)
+    q_v = np.asarray(geom.quad_v)
+    t_p0 = np.asarray(geom.tri_p0)
+    t_p1 = np.asarray(geom.tri_p1)
+    t_p2 = np.asarray(geom.tri_p2)
+    d_c = np.asarray(geom.disk_center)
+    d_n = np.asarray(geom.disk_normal)
+    d_r = np.asarray(geom.disk_radial)
+
+    counts = (
+        sph_c.shape[0], q_o.shape[0], t_p0.shape[0], d_c.shape[0]
+    )
+    rows = []
+    for c, r in zip(sph_c, sph_r):
+        rows.append([*c, r] + [0.0] * 12)
+    for o, u, v in zip(q_o, q_u, q_v):
+        n = np.cross(u, v)
+        n2 = max(float((n * n).sum()), 1e-30)
+        rows.append([*o, *u, *v, *n, n2] + [0.0] * 3)
+    for p0, p1, p2 in zip(t_p0, t_p1, t_p2):
+        n = np.cross(p0 - p1, p2 - p1)
+        ln = np.linalg.norm(n)
+        # Degenerate (incl. padding dummies): zero normal -> denom == 0 ->
+        # the plane test can never pass.
+        n = n / ln if ln > 0 else np.zeros(3)
+        rows.append([*p0, *p1, *p2, *n] + [0.0] * 4)
+    for c, n, r in zip(d_c, d_n, d_r):
+        r2 = float((r * r).sum())
+        rows.append([*c, *n, r2] + [0.0] * 9)
+    bank = np.asarray(rows, np.float32)
+    return jnp.asarray(bank), counts
+
+
+def _trace_kernel(params_ref, ox, oy, oz, dx, dy, dz, tmax,
+                  t_out, idx_out, *, counts, any_hit):
+    """One ray tile vs every primitive. params_ref: SMEM [P, 16]."""
+    n_sph, n_quad, n_tri, n_disk = counts
+    rox, roy, roz = ox[...], oy[...], oz[...]
+    rdx, rdy, rdz = dx[...], dy[...], dz[...]
+    t_max = tmax[...]
+
+    t_best = jnp.full(rox.shape, BIG, jnp.float32)
+    idx_best = jnp.full(rox.shape, -1, jnp.int32)
+
+    def consider(t, ok, pid, carry):
+        t_best, idx_best = carry
+        t = jnp.where(ok & (t >= T_MIN) & (t < t_max), t, BIG)
+        closer = t < t_best
+        return jnp.where(closer, t, t_best), jnp.where(closer, pid, idx_best)
+
+    def sphere_body(i, carry):
+        p = lambda j: params_ref[i, j]
+        cx, cy, cz, r = p(0), p(1), p(2), p(3)
+        fx, fy, fz = rox - cx, roy - cy, roz - cz
+        a = rdx * rdx + rdy * rdy + rdz * rdz
+        b_pr = -(fx * rdx + fy * rdy + fz * rdz)
+        inv_a = 1.0 / jnp.maximum(a, 1e-30)
+        mx = fx + b_pr * inv_a * rdx
+        my = fy + b_pr * inv_a * rdy
+        mz = fz + b_pr * inv_a * rdz
+        delta = r * r - (mx * mx + my * my + mz * mz)
+        has = delta >= 0.0
+        c = fx * fx + fy * fy + fz * fz - r * r
+        q = b_pr + jnp.where(b_pr >= 0.0, 1.0, -1.0) * jnp.sqrt(
+            jnp.maximum(delta * a, 0.0)
+        )
+        q_s = jnp.where(q == 0.0, 1.0, q)
+        t0 = c / q_s
+        t1 = q * inv_a
+        t_lo = jnp.minimum(t0, t1)
+        t_hi = jnp.maximum(t0, t1)
+        ok = has & (q != 0.0)
+        lo_ok = ok & (t_lo >= T_MIN) & (t_lo < t_max)
+        t = jnp.where(lo_ok, t_lo, t_hi)
+        return consider(t, ok, i, carry)
+
+    def quad_body(i, carry):
+        p = lambda j: params_ref[n_sph + i, j]
+        ox_, oy_, oz_ = p(0), p(1), p(2)
+        ux, uy, uz = p(3), p(4), p(5)
+        vx, vy, vz = p(6), p(7), p(8)
+        nx, ny, nz = p(9), p(10), p(11)
+        inv_n2 = 1.0 / p(12)
+        denom = rdx * nx + rdy * ny + rdz * nz
+        denom_s = jnp.where(denom == 0.0, 1.0, denom)
+        t = ((ox_ - rox) * nx + (oy_ - roy) * ny + (oz_ - roz) * nz) / denom_s
+        px = rox + t * rdx - ox_
+        py = roy + t * rdy - oy_
+        pz = roz + t * rdz - oz_
+        cx = py * vz - pz * vy
+        cy = pz * vx - px * vz
+        cz = px * vy - py * vx
+        uu = (cx * nx + cy * ny + cz * nz) * inv_n2
+        cx = uy * pz - uz * py
+        cy = uz * px - ux * pz
+        cz = ux * py - uy * px
+        vv = (cx * nx + cy * ny + cz * nz) * inv_n2
+        ok = (
+            (denom != 0.0)
+            & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0) & (vv <= 1.0)
+        )
+        return consider(t, ok, n_sph + i, carry)
+
+    def tri_body(i, carry):
+        p = lambda j: params_ref[n_sph + n_quad + i, j]
+        p0x, p0y, p0z = p(0), p(1), p(2)
+        p1x, p1y, p1z = p(3), p(4), p(5)
+        p2x, p2y, p2z = p(6), p(7), p(8)
+        nx, ny, nz = p(9), p(10), p(11)
+        denom = rdx * nx + rdy * ny + rdz * nz
+        denom_s = jnp.where(denom == 0.0, 1.0, denom)
+        t = ((p0x - rox) * nx + (p0y - roy) * ny + (p0z - roz) * nz) / denom_s
+        hx = rox + t * rdx
+        hy = roy + t * rdy
+        hz = roz + t * rdz
+        # signed areas
+        def edge(ax, ay, az, bx, by, bz):
+            ex, ey, ez = hx - ax, hy - ay, hz - az
+            fx, fy, fz = hx - bx, hy - by, hz - bz
+            cx = ey * fz - ez * fy
+            cy = ez * fx - ex * fz
+            cz = ex * fy - ey * fx
+            return cx * nx + cy * ny + cz * nz
+        b2 = edge(p0x, p0y, p0z, p1x, p1y, p1z)
+        b0 = edge(p1x, p1y, p1z, p2x, p2y, p2z)
+        b1 = edge(p2x, p2y, p2z, p0x, p0y, p0z)
+        inside = ((b0 > 0) & (b1 > 0) & (b2 > 0)) | (
+            (b0 < 0) & (b1 < 0) & (b2 < 0)
+        )
+        ok = (denom != 0.0) & inside
+        return consider(t, ok, n_sph + n_quad + i, carry)
+
+    def disk_body(i, carry):
+        p = lambda j: params_ref[n_sph + n_quad + n_tri + i, j]
+        cx_, cy_, cz_ = p(0), p(1), p(2)
+        nx, ny, nz = p(3), p(4), p(5)
+        r2 = p(6)
+        denom = rdx * nx + rdy * ny + rdz * nz
+        denom_s = jnp.where(denom == 0.0, 1.0, denom)
+        t = ((cx_ - rox) * nx + (cy_ - roy) * ny + (cz_ - roz) * nz) / denom_s
+        px = rox + t * rdx - cx_
+        py = roy + t * rdy - cy_
+        pz = roz + t * rdz - cz_
+        inside = px * px + py * py + pz * pz <= r2
+        ok = (denom != 0.0) & inside
+        return consider(t, ok, n_sph + n_quad + n_tri + i, carry)
+
+    carry = (t_best, idx_best)
+    carry = jax.lax.fori_loop(0, n_sph, sphere_body, carry)
+    carry = jax.lax.fori_loop(0, n_quad, quad_body, carry)
+    carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
+    carry = jax.lax.fori_loop(0, n_disk, disk_body, carry)
+    t_best, idx_best = carry
+
+    miss = t_best >= BIG
+    t_out[...] = jnp.where(miss, jnp.inf, t_best)
+    idx_out[...] = jnp.where(miss, -1, idx_best)
+
+
+@functools.partial(jax.jit, static_argnames=("counts", "interpret"))
+def _trace_padded(params, ox, oy, oz, dx, dy, dz, tmax, counts,
+                  interpret=False):
+    rows = ox.shape[0]
+    grid = (rows // BLOCK_ROWS,)
+    blk = lambda: pl.BlockSpec(
+        (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_trace_kernel, counts=counts, any_hit=False)
+    t, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params bank
+            blk(), blk(), blk(), blk(), blk(), blk(), blk(),
+        ],
+        out_specs=(blk(), blk()),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(params, ox, oy, oz, dx, dy, dz, tmax)
+    return t, idx
+
+
+class PallasTracer:
+    """Closest-hit / any-hit queries against a GeometryTables snapshot."""
+
+    def __init__(self, geom: GeometryTables, interpret: bool = False):
+        self.params, self.counts = prim_scalars(geom)
+        self.geom = geom
+        self.interpret = interpret
+
+    def _components(self, rays: ray_mod.RayBatch):
+        n = rays.origin.shape[0]
+        rows = _pad_rows(n)
+        pad = rows * LANES - n
+
+        def prep(a, fill):
+            a = jnp.concatenate([a, jnp.full(pad, fill, a.dtype)])
+            return a.reshape(rows, LANES)
+
+        comps = [prep(rays.origin[:, i], 0.0) for i in range(3)]
+        comps += [prep(rays.dir[:, i], 1.0) for i in range(3)]
+        comps.append(prep(rays.t_max, -1.0))
+        return comps, n
+
+    def trace(self, rays: ray_mod.RayBatch):
+        """Returns (t [N], prim_idx [N]) with t=inf, idx=-1 on miss."""
+        comps, n = self._components(rays)
+        t, idx = _trace_padded(
+            self.params, *comps, counts=self.counts,
+            interpret=self.interpret,
+        )
+        return t.reshape(-1)[:n], idx.reshape(-1)[:n]
+
+    def occluded(self, rays: ray_mod.RayBatch):
+        t, _ = self.trace(rays)
+        return jnp.isfinite(t)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .accel import dispatch as trace_dispatch
 from .core import sampler as smp
 from .integrators import wavefront
 
@@ -31,7 +32,7 @@ def make_mesh(n_dp: int | None = None, n_sp: int = 1, devices=None) -> Mesh:
 
 def render_batch_sharded(scene, sampler, pixel_idx, sample_base: int,
                          samples_per_call: int, mesh: Mesh, max_depth=5,
-                         msaa=2, use_nee=True):
+                         msaa=2, use_nee=True, trace_fns=None):
     """Render `samples_per_call` samples for every pixel in `pixel_idx`,
     sharded over the mesh. Each 'sp' slice takes a disjoint sample-index
     stripe; the per-pixel sums are psum'd over 'sp'.
@@ -42,6 +43,7 @@ def render_batch_sharded(scene, sampler, pixel_idx, sample_base: int,
     n_sp = mesh.shape["sp"]
     assert samples_per_call % n_sp == 0, "samples must divide the sp axis"
     per_shard = samples_per_call // n_sp
+    isect_fn, occl_fn = trace_fns or (None, None)
 
     def shard_fn(pix):
         sp_idx = jax.lax.axis_index("sp")
@@ -51,7 +53,7 @@ def render_batch_sharded(scene, sampler, pixel_idx, sample_base: int,
             s = sample_base + sp_idx * per_shard + i
             rad = wavefront.render_samples(
                 scene, sampler, pix, s, max_depth=max_depth, msaa=msaa,
-                use_nee=use_nee,
+                use_nee=use_nee, intersect_fn=isect_fn, occlude_fn=occl_fn,
             )
             return acc + rad
 

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .accel import dispatch as trace_dispatch
 from .core import sampler as smp
 from .integrators import direct as direct_mod
 from .integrators import wavefront
@@ -67,7 +68,8 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
                  seed: int = 0, chunk_pixels: int | None = None,
                  progress: bool = False, film: Film | None = None,
                  checkpoint_path: str | None = None,
-                 checkpoint_every: int = 0, use_nee: bool = True):
+                 checkpoint_every: int = 0, use_nee: bool = True,
+                 use_pallas: bool | None = None):
     """Render the scene camera view. Returns (image [H,W,3], RenderStats).
 
     spp is rounded up to a square (msaa² stratification, matching the
@@ -86,14 +88,19 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
     n_chunks = (n + chunk - 1) // chunk
     pad_n = n_chunks * chunk
 
+    isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene, use_pallas)
+
     if integrator == "path":
         kernel = partial(wavefront.render_samples, max_depth=max_depth,
-                         msaa=msaa, use_nee=use_nee)
+                         msaa=msaa, use_nee=use_nee, intersect_fn=isect_fn,
+                         occlude_fn=occl_fn)
     elif integrator == "direct":
         def kernel(scene, sampler, pix, s, **_kw):
             rays = wavefront.camera_rays(scene, sampler, pix, s, msaa)
             return direct_mod.direct_radiance(scene, rays, sampler, pix, s,
-                                              depth=max_depth)
+                                              depth=max_depth,
+                                              intersect_fn=isect_fn,
+                                              occlude_fn=occl_fn)
     elif integrator == "normals":
         def kernel(scene, sampler, pix, s, **_kw):
             rays = wavefront.camera_rays(scene, sampler, pix, s, msaa)

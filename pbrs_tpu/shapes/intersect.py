@@ -238,16 +238,30 @@ def _disk_detail(rays, t, params):
 # ------------------------------- dispatch ---------------------------------
 
 
+def geom_counts(geom: GeometryTables):
+    return (
+        geom.sph_center.shape[0], geom.quad_origin.shape[0],
+        geom.tri_p0.shape[0], geom.disk_center.shape[0],
+    )
+
+
 def intersect(geom: GeometryTables, rays: ray_mod.RayBatch) -> Hit:
-    """Closest-hit over all typed tables."""
+    """Closest-hit over all typed tables (jnp sweep path)."""
     ts = [sphere_t(rays, geom), quad_t(rays, geom), tri_t(rays, geom),
           disk_t(rays, geom)]
-    counts = [t.shape[1] for t in ts]
     t_all = jnp.concatenate(ts, axis=1)  # [N, K]
     win = jnp.argmin(t_all, axis=1)
     t_best = jnp.min(t_all, axis=1)
-    hit = jnp.isfinite(t_best)
+    return hit_from_t_idx(geom, rays, t_best, win)
+
+
+def hit_from_t_idx(geom: GeometryTables, rays, t_best, win) -> Hit:
+    """Detail pass: rebuild the interaction for winner prim indices (global
+    index over the sphere/quad/tri/disk concatenation; -1 or t=inf = miss)."""
+    counts = geom_counts(geom)
+    hit = jnp.isfinite(t_best) & (win >= 0)
     t_safe = jnp.where(hit, t_best, 1.0)
+    win = jnp.maximum(win, 0)
 
     # Winner's (type, local index) — static counts, pure arithmetic.
     s_, q_, tr_ = counts[0], counts[0] + counts[1], sum(counts[:3])
