@@ -46,9 +46,17 @@ _PI = jnp.pi
 INV_PI = 1.0 / jnp.pi
 
 
+ALL_KINDS = (LAMBERT, OREN_NAYAR, MICROFACET, SPEC_MIRROR, SPEC_DIELECTRIC,
+             SPEC_TRANSMIT, FRESNEL_BLEND)
+
+
 @struct.dataclass
 class Lobes:
-    """Per-hit lobe table; every field is [..., L] or [..., L, 3]."""
+    """Per-hit lobe table; every field is [..., L] or [..., L, 3].
+
+    `present_kinds` is the static set of lobe kinds that can occur in the
+    scene: dispatch skips every model the scene cannot produce (a
+    diffuse-only Cornell box evaluates exactly one model)."""
 
     kind: jnp.ndarray
     albedo: jnp.ndarray
@@ -59,10 +67,14 @@ class Lobes:
     eta: jnp.ndarray  # [..., L, 2] dielectric (eta_front, eta_back)
     eta_t: jnp.ndarray  # [..., L, 3] conductor eta
     k: jnp.ndarray  # [..., L, 3] conductor absorption
+    present_kinds: tuple = struct.field(pytree_node=False, default=ALL_KINDS)
 
     @property
     def num_slots(self):
         return self.kind.shape[-1]
+
+    def has(self, *kinds):
+        return any(k in self.present_kinds for k in kinds)
 
 
 def slot(lobes: Lobes, l) -> Lobes:
@@ -74,7 +86,7 @@ def slot(lobes: Lobes, l) -> Lobes:
         pick = lambda a: gth.select_slot(a, l)
     return Lobes(*(pick(getattr(lobes, f)) for f in (
         "kind", "albedo", "specular", "alpha", "distrib", "fr_kind",
-        "eta", "eta_t", "k")))
+        "eta", "eta_t", "k")), present_kinds=lobes.present_kinds)
 
 
 def num_active(lobes: Lobes):
@@ -194,17 +206,23 @@ def _fresnel_blend_eval(lb, wo, wi):
 
 
 def eval_lobe(lb: Lobes, wo, wi):
-    """f(wo, wi) for one lobe slot; specular kinds evaluate to 0."""
+    """f(wo, wi) for one lobe slot; specular kinds evaluate to 0. Models
+    absent from the scene (static) are never built."""
     k = lb.kind
-    lam = lb.albedo * INV_PI
-    on = lam * _oren_nayar_factor(lb, wo, wi)[..., None]
-    mfe = _microfacet_eval(lb, wo, wi)
-    fb = _fresnel_blend_eval(lb, wo, wi)
-    out = jnp.zeros_like(lam)
-    out = jnp.where(k[..., None] == LAMBERT, lam, out)
-    out = jnp.where(k[..., None] == OREN_NAYAR, on, out)
-    out = jnp.where(k[..., None] == MICROFACET, mfe, out)
-    out = jnp.where(k[..., None] == FRESNEL_BLEND, fb, out)
+    out = jnp.zeros_like(lb.albedo)
+    if lb.has(LAMBERT):
+        out = jnp.where(k[..., None] == LAMBERT, lb.albedo * INV_PI, out)
+    if lb.has(OREN_NAYAR):
+        on = lb.albedo * INV_PI * _oren_nayar_factor(lb, wo, wi)[..., None]
+        out = jnp.where(k[..., None] == OREN_NAYAR, on, out)
+    if lb.has(MICROFACET):
+        out = jnp.where(
+            k[..., None] == MICROFACET, _microfacet_eval(lb, wo, wi), out
+        )
+    if lb.has(FRESNEL_BLEND):
+        out = jnp.where(
+            k[..., None] == FRESNEL_BLEND, _fresnel_blend_eval(lb, wo, wi), out
+        )
     return out
 
 
@@ -212,23 +230,25 @@ def pdf_lobe(lb: Lobes, wo, wi):
     """Sampling density of one lobe slot (0 for delta kinds)."""
     k = lb.kind
     same = mf.same_hemisphere(wo, wi)
-    p_cos = jnp.where(same, cos_hemisphere_pdf(wi), 0.0)
-
-    mid = wo + wi
-    ok = vm.dot(mid, mid) > 1e-16
-    wh = vm.normalize(mid)
-    ax, ay = lb.alpha[..., 0], lb.alpha[..., 1]
-    p_mf = mf.pdf_wh(lb.distrib, ax, ay, wo, wh) * vm.weak_recip(
-        4.0 * vm.dot(wo, wh)
-    )
-    p_mf = jnp.where(same & ok, p_mf, 0.0)
-
-    p_fb = jnp.where(same & ok, 0.5 * (cos_hemisphere_pdf(wi) + p_mf), 0.0)
-
-    out = jnp.zeros_like(p_cos)
-    out = jnp.where((k == LAMBERT) | (k == OREN_NAYAR), p_cos, out)
-    out = jnp.where(k == MICROFACET, p_mf, out)
-    out = jnp.where(k == FRESNEL_BLEND, p_fb, out)
+    out = jnp.zeros(k.shape, jnp.float32)
+    if lb.has(LAMBERT, OREN_NAYAR, FRESNEL_BLEND):
+        p_cos = jnp.where(same, cos_hemisphere_pdf(wi), 0.0)
+        out = jnp.where((k == LAMBERT) | (k == OREN_NAYAR), p_cos, out)
+    if lb.has(MICROFACET, FRESNEL_BLEND):
+        mid = wo + wi
+        ok = vm.dot(mid, mid) > 1e-16
+        wh = vm.normalize(mid)
+        ax, ay = lb.alpha[..., 0], lb.alpha[..., 1]
+        p_mf = mf.pdf_wh(lb.distrib, ax, ay, wo, wh) * vm.weak_recip(
+            4.0 * vm.dot(wo, wh)
+        )
+        p_mf = jnp.where(same & ok, p_mf, 0.0)
+        out = jnp.where(k == MICROFACET, p_mf, out)
+        if lb.has(FRESNEL_BLEND):
+            p_fb = jnp.where(
+                same & ok, 0.5 * (cos_hemisphere_pdf(wi) + p_mf), 0.0
+            )
+            out = jnp.where(k == FRESNEL_BLEND, p_fb, out)
     return jnp.maximum(out, 0.0)
 
 
@@ -255,84 +275,97 @@ def sample_lobe(lb: Lobes, wo, u2):
     """
     k = lb.kind
     u, v = u2[..., 0], u2[..., 1]
+    has = lb.has
 
     # Family A: cosine hemisphere (LAMBERT / OREN_NAYAR).
-    wi_cos = cos_sample_hemisphere(u2)
+    wi = cos_sample_hemisphere(u2)
     # Reference asserts wo.z >= 0 here; frames are built with the normal
     # facing wo so flipping is a no-op in practice, kept for robustness.
-    wi_cos = wi_cos * jnp.where(mf.cos_theta(wo) < 0.0, -1.0, 1.0)[..., None]
+    wi = wi * jnp.where(mf.cos_theta(wo) < 0.0, -1.0, 1.0)[..., None]
 
-    # Family B: microfacet half-vector reflection.
     ax, ay = lb.alpha[..., 0], lb.alpha[..., 1]
-    wh = mf.sample_wh(lb.distrib, ax, ay, wo, u2)
-    wi_mf = vm.reflect(wh, wo)
-
-    # Family C: mirror reflection about +z.
-    wi_mirror = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
-
-    # Family D: refraction.
-    wi_refr, tir = _refract_local(wo, lb.eta[..., 0], lb.eta[..., 1])
-
-    # Family E: FresnelBlend two-strategy split on u.
-    u_fb_lo = jnp.minimum(u * 2.0, 1.0 - 1e-7)
-    u_fb_hi = jnp.mod(u * 2.0, 1.0)
-    wi_fb_cos = cos_sample_hemisphere(jnp.stack([u_fb_lo, v], axis=-1))
-    wh_fb = mf.sample_wh(
-        lb.distrib, ax, ay, wo, jnp.stack([u_fb_hi, v], axis=-1)
-    )
-    wi_fb_mf = vm.reflect(wh_fb, wo)
     fb_diffuse = u < 0.5
-    wi_fb = jnp.where(fb_diffuse[..., None], wi_fb_cos, wi_fb_mf)
 
-    # Select wi by kind.
-    wi = wi_cos
-    wi = jnp.where(k[..., None] == MICROFACET, wi_mf, wi)
-    wi = jnp.where(k[..., None] == SPEC_MIRROR, wi_mirror, wi)
-    wi = jnp.where(k[..., None] == SPEC_TRANSMIT, wi_refr, wi)
-    wi = jnp.where(k[..., None] == FRESNEL_BLEND, wi_fb, wi)
+    if has(MICROFACET):
+        wh = mf.sample_wh(lb.distrib, ax, ay, wo, u2)
+        wi = jnp.where(k[..., None] == MICROFACET, vm.reflect(wh, wo), wi)
 
-    # Hybrid dielectric: reflect with prob R, else refract.
-    # [ref: geometry/src/bxdf.rs:482-498]
-    r_coeff = fr.dielectric_refl(mf.cos_theta(wo), lb.eta[..., 0], lb.eta[..., 1])
-    # Spend v on the branch choice (u2 here is already the lobe-remapped pair).
-    diel_reflect = v < r_coeff
-    wi_diel = jnp.where(diel_reflect[..., None], wi_mirror, wi_refr)
-    wi = jnp.where(k[..., None] == SPEC_DIELECTRIC, wi_diel, wi)
+    if has(SPEC_MIRROR, SPEC_DIELECTRIC):
+        wi_mirror = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+        wi = jnp.where(k[..., None] == SPEC_MIRROR, wi_mirror, wi)
+
+    if has(SPEC_TRANSMIT, SPEC_DIELECTRIC):
+        wi_refr, tir = _refract_local(wo, lb.eta[..., 0], lb.eta[..., 1])
+        wi = jnp.where(k[..., None] == SPEC_TRANSMIT, wi_refr, wi)
+
+    if has(FRESNEL_BLEND):
+        # Two-strategy split on u. [ref: geometry/src/bxdf.rs:688-705]
+        u_fb_lo = jnp.minimum(u * 2.0, 1.0 - 1e-7)
+        u_fb_hi = jnp.mod(u * 2.0, 1.0)
+        wi_fb_cos = cos_sample_hemisphere(jnp.stack([u_fb_lo, v], axis=-1))
+        wh_fb = mf.sample_wh(
+            lb.distrib, ax, ay, wo, jnp.stack([u_fb_hi, v], axis=-1)
+        )
+        wi_fb = jnp.where(
+            fb_diffuse[..., None], wi_fb_cos, vm.reflect(wh_fb, wo)
+        )
+        wi = jnp.where(k[..., None] == FRESNEL_BLEND, wi_fb, wi)
+
+    if has(SPEC_DIELECTRIC):
+        # Hybrid dielectric: reflect with prob R, else refract.
+        # [ref: geometry/src/bxdf.rs:482-498]
+        r_coeff = fr.dielectric_refl(
+            mf.cos_theta(wo), lb.eta[..., 0], lb.eta[..., 1]
+        )
+        diel_reflect = v < r_coeff
+        wi_diel = jnp.where(diel_reflect[..., None], wi_mirror, wi_refr)
+        wi = jnp.where(k[..., None] == SPEC_DIELECTRIC, wi_diel, wi)
 
     # --- smooth f/pdf via shared eval ---
-    f_smooth = eval_lobe(lb, wo, wi)
-    pdf_smooth = pdf_lobe(lb, wo, wi)
+    f = eval_lobe(lb, wo, wi)
+    p = pdf_lobe(lb, wo, wi)
     # Microfacet / FB-specular samples below the horizon are rejected.
-    same = mf.same_hemisphere(wo, wi)
-    reject = ((k == MICROFACET) | ((k == FRESNEL_BLEND) & ~fb_diffuse)) & ~same
-    f_smooth = jnp.where(reject[..., None], 0.0, f_smooth)
-    pdf_smooth = jnp.where(reject, 0.0, pdf_smooth)
+    if has(MICROFACET, FRESNEL_BLEND):
+        same = mf.same_hemisphere(wo, wi)
+        reject = (
+            (k == MICROFACET) | ((k == FRESNEL_BLEND) & ~fb_diffuse)
+        ) & ~same
+        f = jnp.where(reject[..., None], 0.0, f)
+        p = jnp.where(reject, 0.0, p)
 
     # --- delta f/pmf ---
-    aci = jnp.maximum(jnp.abs(mf.cos_theta(wi)), 0.0)
-    inv_aci = vm.weak_recip(aci)
-    f_mirror = _fresnel_of(lb, mf.cos_theta(wi)) * lb.albedo * inv_aci[..., None]
-    r_at_wi = fr.dielectric_refl(mf.cos_theta(wi), lb.eta[..., 0], lb.eta[..., 1])
-    f_refr = (1.0 - r_at_wi)[..., None] * lb.albedo * inv_aci[..., None]
-    f_refr = jnp.where(tir[..., None], 0.0, f_refr)
-    f_diel = jnp.where(
-        diel_reflect[..., None],
-        (r_coeff * inv_aci)[..., None] * lb.albedo,
-        f_refr,
-    )
-    pmf = jnp.ones_like(r_coeff)
-    pmf = jnp.where(
-        k == SPEC_DIELECTRIC,
-        jnp.where(diel_reflect, r_coeff, 1.0 - r_coeff),
-        pmf,
-    )
-
     is_delta = is_delta_kind(k)
-    f = jnp.where(is_delta[..., None], 0.0, f_smooth)
-    f = jnp.where(k[..., None] == SPEC_MIRROR, f_mirror, f)
-    f = jnp.where(k[..., None] == SPEC_DIELECTRIC, f_diel, f)
-    f = jnp.where(k[..., None] == SPEC_TRANSMIT, f_refr, f)
-    p = jnp.where(is_delta, pmf, pdf_smooth)
+    if has(SPEC_MIRROR, SPEC_DIELECTRIC, SPEC_TRANSMIT):
+        aci = jnp.maximum(jnp.abs(mf.cos_theta(wi)), 0.0)
+        inv_aci = vm.weak_recip(aci)
+        pmf = jnp.ones(k.shape, jnp.float32)
+        if has(SPEC_MIRROR):
+            f_mirror = (
+                _fresnel_of(lb, mf.cos_theta(wi)) * lb.albedo
+                * inv_aci[..., None]
+            )
+            f = jnp.where(k[..., None] == SPEC_MIRROR, f_mirror, f)
+        if has(SPEC_TRANSMIT, SPEC_DIELECTRIC):
+            r_at_wi = fr.dielectric_refl(
+                mf.cos_theta(wi), lb.eta[..., 0], lb.eta[..., 1]
+            )
+            f_refr = (1.0 - r_at_wi)[..., None] * lb.albedo * inv_aci[..., None]
+            f_refr = jnp.where(tir[..., None], 0.0, f_refr)
+            f = jnp.where(k[..., None] == SPEC_TRANSMIT, f_refr, f)
+        if has(SPEC_DIELECTRIC):
+            f_diel = jnp.where(
+                diel_reflect[..., None],
+                (r_coeff * inv_aci)[..., None] * lb.albedo,
+                f_refr,
+            )
+            f = jnp.where(k[..., None] == SPEC_DIELECTRIC, f_diel, f)
+            pmf = jnp.where(
+                k == SPEC_DIELECTRIC,
+                jnp.where(diel_reflect, r_coeff, 1.0 - r_coeff),
+                pmf,
+            )
+        p = jnp.where(is_delta, pmf, p)
+
     p = jnp.where(k == NONE, 0.0, p)
     f = jnp.where((k == NONE)[..., None], 0.0, f)
     return f, wi, p, is_delta

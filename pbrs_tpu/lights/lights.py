@@ -47,6 +47,9 @@ class AreaLights:
     packed: jnp.ndarray = None  # [A,C]
     count: int = struct.field(pytree_node=False, default=0)
     layout: tuple = struct.field(pytree_node=False, default=())
+    present_shapes: tuple = struct.field(
+        pytree_node=False, default=(0, 1, 2, 3)
+    )
 
 
 @struct.dataclass
@@ -77,10 +80,12 @@ def _make_delta(kind, position, color, world_radius, count) -> DeltaLights:
 
 def _make_area(shape_kind, emit, p0, p1, p2, scalar, count) -> AreaLights:
     packed, layout = _pack([shape_kind, emit, p0, p1, p2, scalar])
+    present = tuple(sorted({int(k) for k in np.asarray(shape_kind)[:count]}))
     return AreaLights(
         shape_kind=jnp.asarray(shape_kind), emit=jnp.asarray(emit),
         p0=jnp.asarray(p0), p1=jnp.asarray(p1), p2=jnp.asarray(p2),
         scalar=jnp.asarray(scalar), packed=packed, count=count, layout=layout,
+        present_shapes=present or (ss.QUAD,),
     )
 
 
@@ -212,13 +217,15 @@ def sample_area(lights: AreaLights, idx, hit_pos, u2):
     Returns (radiance [N,3], wi unit [N,3], pdf [N], point_on_light [N,3]).
     [ref: light/src/lib.rs:154-172]"""
     kind, emit, params = area_rows(lights, idx)
-    pt, n_l = ss.sample_towards(kind, params, hit_pos, u2)
+    pt, n_l = ss.sample_towards(kind, params, hit_pos, u2,
+                                present=lights.present_shapes)
     wi = vm.normalize(pt - hit_pos)
     # One-sided emission: radiance only if the light front side faces us.
     # [ref: light/src/lib.rs:127-133]
     facing = vm.dot(n_l, -wi) > 0.0
     radiance = jnp.where(facing[..., None], emit, 0.0)
-    pdf = ss.pdf_at(kind, params, hit_pos, wi)
+    pdf = ss.pdf_at(kind, params, hit_pos, wi,
+                    present=lights.present_shapes)
     return radiance, wi, pdf, pt
 
 
@@ -228,8 +235,10 @@ def area_radiance_to(lights: AreaLights, idx, hit_pos, wi):
     [ref: light/src/lib.rs:141-152]"""
     kind, emit, params = area_rows(lights, idx)
     wi_n = vm.normalize(wi)
-    ok, t, n_l = ss.intersect_shape(kind, params, hit_pos, wi_n)
-    pdf = ss.pdf_at(kind, params, hit_pos, wi_n)
+    ok, t, n_l = ss.intersect_shape(kind, params, hit_pos, wi_n,
+                                    present=lights.present_shapes)
+    pdf = ss.pdf_at(kind, params, hit_pos, wi_n,
+                    present=lights.present_shapes)
     pt = hit_pos + t[..., None] * wi_n
     radiance = jnp.where(ok[..., None], emit, 0.0)
     return radiance, pdf, ok, pt

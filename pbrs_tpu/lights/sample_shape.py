@@ -94,124 +94,135 @@ def _aligned_tri_hit(o, d, t_lo, t_hi, p0, p1, p2):
 
 
 def intersect_shape(kind, params, origin, direction, t_lo=ray_mod.T_MIN,
-                    t_hi=jnp.inf):
+                    t_hi=jnp.inf, present=(QUAD, SPHERE, DISK, TRIANGLE)):
     """Intersect per-ray rays with their per-ray light shape.
 
     params: dict with p0, p1, p2 ([N,3]) and scalar ([N]); interpretation per
     shape kind (quad: origin/edge_u/edge_v; sphere: center + radius(scalar);
-    disk: center/normal/radial; triangle: vertices).
+    disk: center/normal/radial; triangle: vertices). `present` statically
+    prunes shape kinds the scene's lights cannot have.
     Returns (hit_mask, t, light_normal)."""
     p0, p1, p2, scalar = params["p0"], params["p1"], params["p2"], params["scalar"]
     t_hi = jnp.broadcast_to(jnp.asarray(t_hi, jnp.float32), origin.shape[:-1])
-    okq, tq, nq = _aligned_quad_hit(origin, direction, t_lo, t_hi, p0, p1, p2)
-    oks, ts, ns = _aligned_sphere_hit(origin, direction, t_lo, t_hi, p0, scalar)
-    okd, td, nd = _aligned_disk_hit(origin, direction, t_lo, t_hi, p0, p1, p2)
-    okt, tt, nt = _aligned_tri_hit(origin, direction, t_lo, t_hi, p0, p1, p2)
-    ok = jnp.where(kind == QUAD, okq, False)
-    ok = jnp.where(kind == SPHERE, oks, ok)
-    ok = jnp.where(kind == DISK, okd, ok)
-    ok = jnp.where(kind == TRIANGLE, okt, ok)
-    t = jnp.where(kind == QUAD, tq, 0.0)
-    t = jnp.where(kind == SPHERE, ts, t)
-    t = jnp.where(kind == DISK, td, t)
-    t = jnp.where(kind == TRIANGLE, tt, t)
-    k3 = kind[..., None]
-    n = jnp.where(k3 == QUAD, nq, 0.0)
-    n = jnp.where(k3 == SPHERE, ns, n)
-    n = jnp.where(k3 == DISK, nd, n)
-    n = jnp.where(k3 == TRIANGLE, nt, n)
+    hits = {}
+    if QUAD in present:
+        hits[QUAD] = _aligned_quad_hit(origin, direction, t_lo, t_hi, p0, p1, p2)
+    if SPHERE in present:
+        hits[SPHERE] = _aligned_sphere_hit(origin, direction, t_lo, t_hi, p0,
+                                           scalar)
+    if DISK in present:
+        hits[DISK] = _aligned_disk_hit(origin, direction, t_lo, t_hi, p0, p1, p2)
+    if TRIANGLE in present:
+        hits[TRIANGLE] = _aligned_tri_hit(origin, direction, t_lo, t_hi, p0,
+                                          p1, p2)
+    ok = jnp.zeros(origin.shape[:-1], bool)
+    t = jnp.zeros(origin.shape[:-1], jnp.float32)
+    n = jnp.zeros_like(origin)
+    for kk, (okk, tk, nk) in hits.items():
+        ok = jnp.where(kind == kk, okk, ok)
+        t = jnp.where(kind == kk, tk, t)
+        n = jnp.where((kind == kk)[..., None], nk, n)
     return ok, t, n
 
 
-def shape_area(kind, params):
+def shape_area(kind, params, present=(QUAD, SPHERE, DISK, TRIANGLE)):
     """[ref: light/src/sample_shape.rs:252-308]"""
     p0, p1, p2, scalar = params["p0"], params["p1"], params["p2"], params["scalar"]
-    a_quad = vm.length(vm.cross(p1, p2))
-    a_sphere = 4.0 * _PI * scalar**2
-    a_disk = _PI * vm.dot(p2, p2)
-    a_tri = 0.5 * vm.length(vm.cross(p0 - p1, p2 - p1))
-    a = jnp.where(kind == QUAD, a_quad, 0.0)
-    a = jnp.where(kind == SPHERE, a_sphere, a)
-    a = jnp.where(kind == DISK, a_disk, a)
-    a = jnp.where(kind == TRIANGLE, a_tri, a)
+    a = jnp.zeros(kind.shape, jnp.float32)
+    if QUAD in present:
+        a = jnp.where(kind == QUAD, vm.length(vm.cross(p1, p2)), a)
+    if SPHERE in present:
+        a = jnp.where(kind == SPHERE, 4.0 * _PI * scalar**2, a)
+    if DISK in present:
+        a = jnp.where(kind == DISK, _PI * vm.dot(p2, p2), a)
+    if TRIANGLE in present:
+        a = jnp.where(
+            kind == TRIANGLE, 0.5 * vm.length(vm.cross(p0 - p1, p2 - p1)), a
+        )
     return a
 
 
-def sample_towards(kind, params, target_pos, u2):
+def sample_towards(kind, params, target_pos, u2,
+                   present=(QUAD, SPHERE, DISK, TRIANGLE)):
     """Sample a point on the shape (visible-cone sampling for spheres).
 
-    Returns (point [N,3], light_normal [N,3]).
-    [ref: light/src/sample_shape.rs:184-309]
+    Returns (point [N,3], light_normal [N,3]); `present` statically prunes
+    absent shape kinds. [ref: light/src/sample_shape.rs:184-309]
     """
     p0, p1, p2, scalar = params["p0"], params["p1"], params["p2"], params["scalar"]
     u, v = u2[..., 0], u2[..., 1]
-
-    # Quad: uniform. [ref: sample_shape.rs:296-309]
-    pt_quad = p0 + u[..., None] * p1 + v[..., None] * p2
-    n_quad = vm.normalize(vm.cross(p1, p2))
-
-    # Triangle: uniform with fold. [ref: sample_shape.rs:276-294]
-    over = (u + v) > 1.0
-    tu = jnp.where(over, 1.0 - v, u)
-    tv = jnp.where(over, 1.0 - u, v)
-    pt_tri = p0 + tu[..., None] * (p1 - p0) + tv[..., None] * (p2 - p0)
-    n_tri = vm.normalize(vm.cross(p0 - p1, p2 - p1))
-
-    # Disk: concentric. [ref: sample_shape.rs:257-269]
-    dx, dy = concentric_sample_disk(u2)
-    radial2 = vm.cross(p1, p2)
-    pt_disk = p0 + dx[..., None] * p2 + dy[..., None] * radial2
-    n_disk = p1
-
-    # Sphere: cone sampling from outside, uniform from inside.
-    # [ref: sample_shape.rs:184-236]
-    wc = p0 - target_pos
-    dc2 = vm.dot(wc, wc)
-    r2 = scalar**2
-    inside = dc2 < r2
-    # uniform sphere point (inside case)
-    theta_u = 2.0 * _PI * u
-    phi_u = jnp.arccos(jnp.clip(2.0 * v - 1.0, -1.0, 1.0))
-    dir_u = vm.vec3(
-        jnp.sin(phi_u) * jnp.cos(theta_u),
-        jnp.sin(phi_u) * jnp.sin(theta_u),
-        2.0 * v - 1.0,
-    )
-    pt_sph_inside = p0 + scalar[..., None] * dir_u
-    n_sph_inside = dir_u
-    # cone sampling (outside case)
-    sin2_t_max = r2 / jnp.maximum(dc2, 1e-30)
-    cos_t_max = vm.safe_sqrt(1.0 - sin2_t_max)
-    cos_t = (1.0 - u) + u * cos_t_max
-    sin2_t = jnp.maximum(1.0 - cos_t**2, 0.0)
-    phi = v * 2.0 * _PI
-    dc = jnp.sqrt(jnp.maximum(dc2, 1e-30))
-    ds = dc * cos_t - vm.safe_sqrt(r2 - dc2 * sin2_t)
-    cos_alpha = (dc2 + r2 - ds**2) / jnp.maximum(2.0 * dc * scalar, 1e-30)
-    sin_alpha = vm.safe_sqrt(1.0 - cos_alpha**2)
-    n_obj = vm.spherical_direction(sin_alpha, cos_alpha, phi)
-    to_target = vm.normalize(-wc)
-    bx, by = vm.make_coord_system(to_target)
-    n_world = (
-        n_obj[..., 0:1] * bx + n_obj[..., 1:2] * by + n_obj[..., 2:3] * to_target
-    )
-    pt_sph_outside = p0 + n_world * scalar[..., None]
-    pt_sph = jnp.where(inside[..., None], pt_sph_inside, pt_sph_outside)
-    n_sph = jnp.where(inside[..., None], n_sph_inside, n_world)
-
     k3 = kind[..., None]
-    pt = jnp.where(k3 == QUAD, pt_quad, 0.0)
-    pt = jnp.where(k3 == SPHERE, pt_sph, pt)
-    pt = jnp.where(k3 == DISK, pt_disk, pt)
-    pt = jnp.where(k3 == TRIANGLE, pt_tri, pt)
-    n = jnp.where(k3 == QUAD, n_quad, 0.0)
-    n = jnp.where(k3 == SPHERE, n_sph, n)
-    n = jnp.where(k3 == DISK, n_disk, n)
-    n = jnp.where(k3 == TRIANGLE, n_tri, n)
+    pt = jnp.zeros_like(target_pos)
+    n = jnp.zeros_like(target_pos)
+
+    if QUAD in present:
+        # Quad: uniform. [ref: sample_shape.rs:296-309]
+        pt_quad = p0 + u[..., None] * p1 + v[..., None] * p2
+        n_quad = vm.normalize(vm.cross(p1, p2))
+        pt = jnp.where(k3 == QUAD, pt_quad, pt)
+        n = jnp.where(k3 == QUAD, n_quad, n)
+
+    if TRIANGLE in present:
+        # Triangle: uniform with fold. [ref: sample_shape.rs:276-294]
+        over = (u + v) > 1.0
+        tu = jnp.where(over, 1.0 - v, u)
+        tv = jnp.where(over, 1.0 - u, v)
+        pt_tri = p0 + tu[..., None] * (p1 - p0) + tv[..., None] * (p2 - p0)
+        n_tri = vm.normalize(vm.cross(p0 - p1, p2 - p1))
+        pt = jnp.where(k3 == TRIANGLE, pt_tri, pt)
+        n = jnp.where(k3 == TRIANGLE, n_tri, n)
+
+    if DISK in present:
+        # Disk: concentric. [ref: sample_shape.rs:257-269]
+        dx, dy = concentric_sample_disk(u2)
+        radial2 = vm.cross(p1, p2)
+        pt_disk = p0 + dx[..., None] * p2 + dy[..., None] * radial2
+        pt = jnp.where(k3 == DISK, pt_disk, pt)
+        n = jnp.where(k3 == DISK, p1, n)
+
+    if SPHERE in present:
+        # Sphere: cone sampling from outside, uniform from inside.
+        # [ref: sample_shape.rs:184-236]
+        wc = p0 - target_pos
+        dc2 = vm.dot(wc, wc)
+        r2 = scalar**2
+        inside = dc2 < r2
+        theta_u = 2.0 * _PI * u
+        phi_u = jnp.arccos(jnp.clip(2.0 * v - 1.0, -1.0, 1.0))
+        dir_u = vm.vec3(
+            jnp.sin(phi_u) * jnp.cos(theta_u),
+            jnp.sin(phi_u) * jnp.sin(theta_u),
+            2.0 * v - 1.0,
+        )
+        pt_sph_inside = p0 + scalar[..., None] * dir_u
+        n_sph_inside = dir_u
+        sin2_t_max = r2 / jnp.maximum(dc2, 1e-30)
+        cos_t_max = vm.safe_sqrt(1.0 - sin2_t_max)
+        cos_t = (1.0 - u) + u * cos_t_max
+        sin2_t = jnp.maximum(1.0 - cos_t**2, 0.0)
+        phi = v * 2.0 * _PI
+        dc = jnp.sqrt(jnp.maximum(dc2, 1e-30))
+        ds = dc * cos_t - vm.safe_sqrt(r2 - dc2 * sin2_t)
+        cos_alpha = (dc2 + r2 - ds**2) / jnp.maximum(2.0 * dc * scalar, 1e-30)
+        sin_alpha = vm.safe_sqrt(1.0 - cos_alpha**2)
+        n_obj = vm.spherical_direction(sin_alpha, cos_alpha, phi)
+        to_target = vm.normalize(-wc)
+        bx, by = vm.make_coord_system(to_target)
+        n_world = (
+            n_obj[..., 0:1] * bx + n_obj[..., 1:2] * by
+            + n_obj[..., 2:3] * to_target
+        )
+        pt_sph_outside = p0 + n_world * scalar[..., None]
+        pt_sph = jnp.where(inside[..., None], pt_sph_inside, pt_sph_outside)
+        n_sph = jnp.where(inside[..., None], n_sph_inside, n_world)
+        pt = jnp.where(k3 == SPHERE, pt_sph, pt)
+        n = jnp.where(k3 == SPHERE, n_sph, n)
+
     return pt, n
 
 
-def pdf_at(kind, params, target_pos, wi):
+def pdf_at(kind, params, target_pos, wi,
+           present=(QUAD, SPHERE, DISK, TRIANGLE)):
     """Solid-angle pdf that direction wi from target_pos hits the shape.
 
     Spheres use the uniform-cone pdf; other shapes re-intersect and convert
@@ -219,29 +230,34 @@ def pdf_at(kind, params, target_pos, wi):
     [ref: light/src/sample_shape.rs:28-33 (distance² restored), 238-250]
     """
     p0, scalar = params["p0"], params["scalar"]
-    # Sphere cone pdf.
-    wc = p0 - target_pos
-    dc2 = vm.dot(wc, wc)
-    r2 = scalar**2
-    inside = dc2 < r2
-    sin2_t_max = r2 / jnp.maximum(dc2, 1e-30)
-    cos_t_max = vm.safe_sqrt(1.0 - sin2_t_max)
-    cos_t = vm.dot(wc, wi) / jnp.maximum(
-        jnp.sqrt(dc2) * vm.length(wi), 1e-30
-    )
-    cone = 1.0 / jnp.maximum(2.0 * _PI * (1.0 - cos_t_max), 1e-30)
-    area = shape_area(kind, params)
-    pdf_sphere = jnp.where(
-        inside,
-        1.0 / jnp.maximum(area, 1e-30),
-        jnp.where(cos_t > cos_t_max, cone, 0.0),
-    )
-    # Generic: re-intersect, pdf = d² / (|cos| A).
-    wi_n = vm.normalize(wi)
-    ok, t, n = intersect_shape(kind, params, target_pos, wi_n)
-    d2 = t**2
-    cos_l = jnp.abs(vm.dot(n, -wi_n))
-    pdf_generic = jnp.where(
-        ok, d2 / jnp.maximum(cos_l * area, 1e-30), 0.0
-    )
-    return jnp.where(kind == SPHERE, pdf_sphere, pdf_generic)
+    area = shape_area(kind, params, present)
+    pdf = jnp.zeros(kind.shape, jnp.float32)
+    if SPHERE in present:
+        wc = p0 - target_pos
+        dc2 = vm.dot(wc, wc)
+        r2 = scalar**2
+        inside = dc2 < r2
+        sin2_t_max = r2 / jnp.maximum(dc2, 1e-30)
+        cos_t_max = vm.safe_sqrt(1.0 - sin2_t_max)
+        cos_t = vm.dot(wc, wi) / jnp.maximum(
+            jnp.sqrt(dc2) * vm.length(wi), 1e-30
+        )
+        cone = 1.0 / jnp.maximum(2.0 * _PI * (1.0 - cos_t_max), 1e-30)
+        pdf_sphere = jnp.where(
+            inside,
+            1.0 / jnp.maximum(area, 1e-30),
+            jnp.where(cos_t > cos_t_max, cone, 0.0),
+        )
+        pdf = jnp.where(kind == SPHERE, pdf_sphere, pdf)
+    generic = tuple(k for k in present if k != SPHERE)
+    if generic:
+        wi_n = vm.normalize(wi)
+        ok, t, n = intersect_shape(kind, params, target_pos, wi_n,
+                                   present=generic)
+        d2 = t**2
+        cos_l = jnp.abs(vm.dot(n, -wi_n))
+        pdf_generic = jnp.where(
+            ok, d2 / jnp.maximum(cos_l * area, 1e-30), 0.0
+        )
+        pdf = jnp.where(kind != SPHERE, pdf_generic, pdf)
+    return pdf

@@ -46,6 +46,8 @@ class MaterialTable:
     packed: jnp.ndarray  # [M,C] all fields packed for one-shot row lookup
     textured_slots: tuple = struct.field(pytree_node=False, default=())
     layout: tuple = struct.field(pytree_node=False, default=())
+    present_kinds: tuple = struct.field(pytree_node=False,
+                                        default=lb.ALL_KINDS)
 
     @property
     def num_materials(self):
@@ -75,6 +77,7 @@ def shading_at(table: MaterialTable, textures: tex.TextureTable, mat_id, uv,
     lobes = lb.Lobes(
         kind=kind, albedo=albedo, specular=specular, alpha=alpha,
         distrib=distrib, fr_kind=fr_kind, eta=eta, eta_t=eta_t, k=k,
+        present_kinds=table.present_kinds,
     )
     return lobes, emission
 
@@ -277,4 +280,7 @@ class MaterialBuilder:
             packed=jnp.asarray(packed),
             textured_slots=tuple(sorted(textured)),
             layout=layout,
+            present_kinds=tuple(sorted(
+                {l.kind for ll, _ in mats for l in ll}
+            )),
         )
