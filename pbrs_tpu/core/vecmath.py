@@ -21,7 +21,18 @@ def vec3(x, y, z, dtype=jnp.float32):
 
 
 def dot(a, b, keepdims: bool = False):
-    return jnp.sum(a * b, axis=-1, keepdims=keepdims)
+    # Component arithmetic instead of a reduce op: reduces act as fusion
+    # barriers on TPU and the last axis is always tiny (2 or 3).
+    if a.shape[-1] == 3 or b.shape[-1] == 3:
+        out = (
+            a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+            + a[..., 2] * b[..., 2]
+        )
+    elif a.shape[-1] == 2 or b.shape[-1] == 2:
+        out = a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+    else:
+        out = jnp.sum(a * b, axis=-1)
+    return out[..., None] if keepdims else out
 
 
 def cross(a, b):

@@ -48,7 +48,7 @@ def direct_radiance(scene, rays, sampler, pixel_idx, sample_idx, depth=5,
         lobes, emit = mat_mod.shading_at(
             scene.materials, scene.textures, hit.mat_id, hit.uv, hit.pos
         )
-        emissive = jnp.any(emit > 0.0, axis=-1)
+        emissive = (emit[..., 0] > 0.0) | (emit[..., 1] > 0.0) | (emit[..., 2] > 0.0)
         radiance = radiance + jnp.where(
             (alive & emissive)[..., None], beta * emit, 0.0
         )

@@ -93,7 +93,7 @@ def uniform_sample_one_light(
             (arm_delta | arm_area)
             & ~occluded_l
             & (pdf_l > 0.0)
-            & jnp.any(li_l > 0.0, axis=-1)
+            & ((li_l[..., 0] > 0.0) | (li_l[..., 1] > 0.0) | (li_l[..., 2] > 0.0))
         )
         contrib = f_l * li_l * (weight * vm.weak_recip(pdf_l))[..., None]
         result = result + jnp.where(valid[..., None], contrib, 0.0)
@@ -140,7 +140,7 @@ def uniform_sample_one_light(
                 & ~occluded_b
                 & (pdf_b > 0.0)
                 & (pdf_light_b > 0.0)
-                & jnp.any(f_b > 0.0, axis=-1)
+                & ((f_b[..., 0] > 0.0) | (f_b[..., 1] > 0.0) | (f_b[..., 2] > 0.0))
             )
             contrib_b = f_b * li_b * (weight_b * vm.weak_recip(pdf_b))[..., None]
             result = result + jnp.where(valid_b[..., None], contrib_b, 0.0)

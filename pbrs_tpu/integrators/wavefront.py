@@ -104,7 +104,9 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
         u_bsdf = sampler.u2(pixel_idx, sample_idx, bounce, smp.DIM_BSDF_UV)
         f, wi, pdf, is_delta = bsdf_mod.sample_bsdf(lobes, frame, wo, u_bsdf)
         cos_term = jnp.abs(vm.dot(wi, frame.n))
-        step_ok = (pdf > 0.0) & jnp.any(f > 0.0, axis=-1)
+        step_ok = (pdf > 0.0) & (
+            (f[..., 0] > 0.0) | (f[..., 1] > 0.0) | (f[..., 2] > 0.0)
+        )
         alive = alive & step_ok
         beta = jnp.where(
             alive[..., None],
