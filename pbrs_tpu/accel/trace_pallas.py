@@ -24,8 +24,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import ray as ray_mod
 from ..shapes.tables import GeometryTables
+from . import mesh_pallas
 
 LANES = 128
+# Above this many triangles the table sweep hands them to the BVH kernel.
+BVH_THRESHOLD = 32
 BLOCK_ROWS = 64  # 64 x 128 = 8192 rays per tile
 T_MIN = ray_mod.T_MIN
 BIG = 3.0e38
@@ -37,10 +40,13 @@ def _pad_rows(n):
     return rows
 
 
-def prim_scalars(geom: GeometryTables):
+def prim_scalars(geom: GeometryTables, include_tris: bool = True):
     """Flatten primitive tables to a single f32 scalar bank [P, 16]:
-    per-prim row = type-specific params. Order: spheres, quads, tris, disks
-    (matching the global prim-index convention of shapes/intersect.py)."""
+    per-prim row = type-specific params. Order: spheres, quads, [tris,]
+    disks. Global prim ids always follow the sphere/quad/tri/disk
+    convention of shapes/intersect.py; when tris are BVH-managed they are
+    excluded from the bank (SMEM is ~1MB) and the kernel offsets disk ids
+    accordingly."""
     sph_c = np.asarray(geom.sph_center)
     sph_r = np.asarray(geom.sph_radius)
     q_o = np.asarray(geom.quad_origin)
@@ -63,13 +69,14 @@ def prim_scalars(geom: GeometryTables):
         n = np.cross(u, v)
         n2 = max(float((n * n).sum()), 1e-30)
         rows.append([*o, *u, *v, *n, n2] + [0.0] * 3)
-    for p0, p1, p2 in zip(t_p0, t_p1, t_p2):
-        n = np.cross(p0 - p1, p2 - p1)
-        ln = np.linalg.norm(n)
-        # Degenerate (incl. padding dummies): zero normal -> denom == 0 ->
-        # the plane test can never pass.
-        n = n / ln if ln > 0 else np.zeros(3)
-        rows.append([*p0, *p1, *p2, *n] + [0.0] * 4)
+    if include_tris:
+        for p0, p1, p2 in zip(t_p0, t_p1, t_p2):
+            n = np.cross(p0 - p1, p2 - p1)
+            ln = np.linalg.norm(n)
+            # Degenerate (incl. padding dummies): zero normal -> denom == 0
+            # -> the plane test can never pass.
+            n = n / ln if ln > 0 else np.zeros(3)
+            rows.append([*p0, *p1, *p2, *n] + [0.0] * 4)
     for c, n, r in zip(d_c, d_n, d_r):
         r2 = float((r * r).sum())
         rows.append([*c, *n, r2] + [0.0] * 9)
@@ -78,7 +85,7 @@ def prim_scalars(geom: GeometryTables):
 
 
 def _trace_kernel(params_ref, ox, oy, oz, dx, dy, dz, tmax,
-                  t_out, idx_out, *, counts, any_hit):
+                  t_out, idx_out, *, counts, any_hit, do_tris=True):
     """One ray tile vs every primitive. params_ref: SMEM [P, 16]."""
     n_sph, n_quad, n_tri, n_disk = counts
     rox, roy, roz = ox[...], oy[...], oz[...]
@@ -147,6 +154,9 @@ def _trace_kernel(params_ref, ox, oy, oz, dx, dy, dz, tmax,
         )
         return consider(t, ok, n_sph + i, carry)
 
+    # Bank rows: tris occupy rows only when do_tris (BVH absent).
+    tri_rows = n_tri if do_tris else 0
+
     def tri_body(i, carry):
         p = lambda j: params_ref[n_sph + n_quad + i, j]
         p0x, p0y, p0z = p(0), p(1), p(2)
@@ -177,7 +187,7 @@ def _trace_kernel(params_ref, ox, oy, oz, dx, dy, dz, tmax,
         return consider(t, ok, n_sph + n_quad + i, carry)
 
     def disk_body(i, carry):
-        p = lambda j: params_ref[n_sph + n_quad + n_tri + i, j]
+        p = lambda j: params_ref[n_sph + n_quad + tri_rows + i, j]
         cx_, cy_, cz_ = p(0), p(1), p(2)
         nx, ny, nz = p(3), p(4), p(5)
         r2 = p(6)
@@ -194,7 +204,8 @@ def _trace_kernel(params_ref, ox, oy, oz, dx, dy, dz, tmax,
     carry = (t_best, idx_best)
     carry = jax.lax.fori_loop(0, n_sph, sphere_body, carry)
     carry = jax.lax.fori_loop(0, n_quad, quad_body, carry)
-    carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
+    if do_tris:
+        carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
     carry = jax.lax.fori_loop(0, n_disk, disk_body, carry)
     t_best, idx_best = carry
 
@@ -203,15 +214,17 @@ def _trace_kernel(params_ref, ox, oy, oz, dx, dy, dz, tmax,
     idx_out[...] = jnp.where(miss, -1, idx_best)
 
 
-@functools.partial(jax.jit, static_argnames=("counts", "interpret"))
+@functools.partial(jax.jit, static_argnames=("counts", "interpret",
+                                              "do_tris"))
 def _trace_padded(params, ox, oy, oz, dx, dy, dz, tmax, counts,
-                  interpret=False):
+                  interpret=False, do_tris=True):
     rows = ox.shape[0]
     grid = (rows // BLOCK_ROWS,)
     blk = lambda: pl.BlockSpec(
         (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(_trace_kernel, counts=counts, any_hit=False)
+    kernel = functools.partial(_trace_kernel, counts=counts, any_hit=False,
+                               do_tris=do_tris)
     t, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -230,12 +243,26 @@ def _trace_padded(params, ox, oy, oz, dx, dy, dz, tmax, counts,
 
 
 class PallasTracer:
-    """Closest-hit / any-hit queries against a GeometryTables snapshot."""
+    """Closest-hit / any-hit queries against a GeometryTables snapshot.
+
+    Triangles above BVH_THRESHOLD are handled by the packet-BVH kernel
+    (accel/mesh_pallas.py); small tables go through the flat prim loop."""
 
     def __init__(self, geom: GeometryTables, interpret: bool = False):
         self.params, self.counts = prim_scalars(geom)
         self.geom = geom
         self.interpret = interpret
+        self.mesh = None
+        if self.counts[2] > BVH_THRESHOLD:
+            base = self.counts[0] + self.counts[1]
+            self.mesh = mesh_pallas.MeshBVHTracer(
+                np.asarray(geom.tri_p0), np.asarray(geom.tri_p1),
+                np.asarray(geom.tri_p2), global_base=base,
+                interpret=interpret,
+            )
+            # Rebuild the scalar bank without the BVH-managed triangles
+            # (the bank lives in SMEM).
+            self.params, _ = prim_scalars(geom, include_tris=False)
 
     def _components(self, rays: ray_mod.RayBatch):
         n = rays.origin.shape[0]
@@ -251,15 +278,21 @@ class PallasTracer:
         comps.append(prep(rays.t_max, -1.0))
         return comps, n
 
-    def trace(self, rays: ray_mod.RayBatch):
+    def trace(self, rays: ray_mod.RayBatch, any_hit=False):
         """Returns (t [N], prim_idx [N]) with t=inf, idx=-1 on miss."""
         comps, n = self._components(rays)
         t, idx = _trace_padded(
             self.params, *comps, counts=self.counts,
-            interpret=self.interpret,
+            interpret=self.interpret, do_tris=self.mesh is None,
         )
-        return t.reshape(-1)[:n], idx.reshape(-1)[:n]
+        t, idx = t.reshape(-1)[:n], idx.reshape(-1)[:n]
+        if self.mesh is not None:
+            t2, idx2 = self.mesh.trace(rays, any_hit=any_hit)
+            closer = t2 < t
+            t = jnp.where(closer, t2, t)
+            idx = jnp.where(closer, idx2, idx)
+        return t, idx
 
     def occluded(self, rays: ray_mod.RayBatch):
-        t, _ = self.trace(rays)
+        t, _ = self.trace(rays, any_hit=True)
         return jnp.isfinite(t)

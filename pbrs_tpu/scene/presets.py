@@ -258,6 +258,54 @@ def env_mapped() -> Scene:
     return b.build()
 
 
+def _icosphere(levels=3):
+    """Procedural test mesh: Loop-subdivided octahedron, projected to the
+    unit sphere (mesh asset stand-in; reference PLY assets are absent)."""
+    from . import subdivision
+
+    pos = np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        np.float32,
+    )
+    idx = np.array(
+        [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+         [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]], np.int64
+    )
+    pos, idx = subdivision.loop_subdivide(pos, idx, levels)
+    pos = pos / np.linalg.norm(pos, axis=1, keepdims=True)
+    return pos, idx
+
+
+def mesh_ball(levels: int = 4) -> Scene:
+    """Triangle-mesh scene (BASELINE config 3): a smooth-shaded mesh ball
+    (matte) and a glass mesh ball over a checkered floor under a quad light."""
+    from .ply import compute_vertex_normals
+
+    b = SceneBuilder()
+    checker = b.textures.add_checker((0.8, 0.8, 0.8), (0.2, 0.25, 0.3))
+    floor = b.materials.add_lambertian(tex_id=checker)
+    matte = b.materials.add_lambertian((0.7, 0.3, 0.25))
+    glass = b.materials.add_dielectric(1.5)
+    light_c = (12.0, 12.0, 12.0)
+    light = b.materials.add_diffuse_light(light_c)
+
+    g = b.geometry
+    g.add_quad((-10, 0, -10), (20, 0, 0), (0, 0, 20), floor)
+    pos, idx = _icosphere(levels)
+    nrm = compute_vertex_normals(pos, idx)
+    t1 = tf.compose(tf.translate((-1.3, 1.0, 0.0)))
+    g.add_mesh(pos, idx, matte, normals=nrm, transform=t1)
+    t2 = tf.compose(tf.translate((1.3, 1.0, 0.0)))
+    g.add_mesh(pos, idx, glass, normals=nrm, transform=t2)
+    g.add_quad((-1.5, 6.0, -1.5), (3.0, 0, 0), (0, 0, 3.0), light)
+    b.lights.add_area_quad(light_c, (-1.5, 6.0, -1.5), (3.0, 0, 0), (0, 0, 3.0))
+    b.lights.env = DARK_ROOM
+
+    cam = cam_mod.make_camera((800, 600), 35.0)
+    b.camera = cam_mod.looking_at(cam, (0, 2.2, -7.5), (0, 1.0, 0), (0, 1, 0))
+    return b.build()
+
+
 PRESETS = {
     "cornell_box": cornell_box,
     "quad": quad,
@@ -268,4 +316,5 @@ PRESETS = {
     "plates": plates,
     "everything": everything,
     "env_mapped": env_mapped,
+    "mesh_ball": mesh_ball,
 }
