@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resolution", default=None, metavar="WxH",
                    help="override the scene camera resolution")
+    p.add_argument("--filter", default=None, metavar="KIND:RADIUS",
+                   help="pixel reconstruction filter, e.g. gaussian:1.5 "
+                        "(applied by filter importance sampling)")
     p.add_argument("--output", default=None, help="output EXR/PNG path")
     p.add_argument("--checkpoint", default=None,
                    help="film checkpoint path (.npz); resumes if it exists")
@@ -104,11 +107,16 @@ def main(argv=None) -> int:
                   f"{film.samples_done} samples")
 
     t0 = time.time()
+    pixel_filter = None
+    if args.filter:
+        kind, _, radius = args.filter.partition(":")
+        pixel_filter = (kind, float(radius or 1.0))
     img, stats = render_mod.render_image(
         scene, spp=spp, max_depth=args.depth, integrator=args.integrator,
         seed=args.seed, progress=True, film=film,
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
+        pixel_filter=pixel_filter,
     )
     wall = time.time() - t0
     mrays = stats.traced_rays / max(stats.wall_time, 1e-9) / 1e6

@@ -28,9 +28,19 @@ from ..shapes import intersect as isect_mod
 from . import nee
 
 
-def camera_rays(scene, sampler, pixel_idx, sample_idx, msaa):
+def camera_rays(scene, sampler, pixel_idx, sample_idx, msaa,
+                filter_inv_cdf=None):
+    """Camera ray batch; the per-sample jitter is stratified and, when a
+    reconstruction filter is given, warped through its inverse CDF (filter
+    importance sampling: applies any filter with constant weight 1 — the
+    reference parses filters but never applies them, src/main.rs:208)."""
     row, col = cam_mod.pixel_coords(scene.camera, pixel_idx)
     dx, dy = smp.stratified_jitter(sampler, pixel_idx, sample_idx, msaa)
+    if filter_inv_cdf is not None:
+        from ..core import filters as flt
+
+        dx = 0.5 + flt.sample_filter_offset(filter_inv_cdf, dx)
+        dy = 0.5 + flt.sample_filter_offset(filter_inv_cdf, dy)
     return cam_mod.shoot_rays(
         scene.camera, row, col, jnp.stack([dx, dy], axis=-1)
     )
@@ -145,9 +155,10 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
 
 def render_samples(scene, sampler, pixel_idx, sample_idx, max_depth=5, msaa=2,
                    intersect_fn=None, occlude_fn=None, use_nee=True,
-                   return_ray_count=False):
+                   return_ray_count=False, filter_inv_cdf=None):
     """Camera rays + path integration for a (pixel, sample) batch."""
-    rays = camera_rays(scene, sampler, pixel_idx, sample_idx, msaa)
+    rays = camera_rays(scene, sampler, pixel_idx, sample_idx, msaa,
+                       filter_inv_cdf=filter_inv_cdf)
     return path_radiance(
         scene, rays, sampler, pixel_idx, sample_idx, max_depth=max_depth,
         intersect_fn=intersect_fn, occlude_fn=occlude_fn, use_nee=use_nee,

@@ -69,7 +69,8 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
                  progress: bool = False, film: Film | None = None,
                  checkpoint_path: str | None = None,
                  checkpoint_every: int = 0, use_nee: bool = True,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 pixel_filter: tuple | None = None):
     """Render the scene camera view. Returns (image [H,W,3], RenderStats).
 
     spp is rounded up to a square (msaa² stratification, matching the
@@ -90,10 +91,20 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
 
     isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene, use_pallas)
 
+    filter_inv = None
+    if pixel_filter is not None:
+        from .core import filters as flt
+
+        kind, radius = pixel_filter
+        kinds = {"box": flt.BOX, "triangle": flt.TRIANGLE,
+                 "gaussian": flt.GAUSSIAN, "mitchell": flt.MITCHELL,
+                 "sinc": flt.LANCZOS, "lanczos": flt.LANCZOS}
+        filter_inv = flt.make_filter_cdf(kinds[kind], float(radius))
+
     if integrator == "path":
         kernel = partial(wavefront.render_samples, max_depth=max_depth,
                          msaa=msaa, use_nee=use_nee, intersect_fn=isect_fn,
-                         occlude_fn=occl_fn)
+                         occlude_fn=occl_fn, filter_inv_cdf=filter_inv)
     elif integrator == "direct":
         def kernel(scene, sampler, pix, s, **_kw):
             rays = wavefront.camera_rays(scene, sampler, pix, s, msaa)
