@@ -41,13 +41,14 @@ SPEC_MIRROR = 4
 SPEC_DIELECTRIC = 5
 SPEC_TRANSMIT = 6
 FRESNEL_BLEND = 7
+FOURIER = 8
 
 _PI = jnp.pi
 INV_PI = 1.0 / jnp.pi
 
 
 ALL_KINDS = (LAMBERT, OREN_NAYAR, MICROFACET, SPEC_MIRROR, SPEC_DIELECTRIC,
-             SPEC_TRANSMIT, FRESNEL_BLEND)
+             SPEC_TRANSMIT, FRESNEL_BLEND, FOURIER)
 
 
 @struct.dataclass
@@ -67,6 +68,7 @@ class Lobes:
     eta: jnp.ndarray  # [..., L, 2] dielectric (eta_front, eta_back)
     eta_t: jnp.ndarray  # [..., L, 3] conductor eta
     k: jnp.ndarray  # [..., L, 3] conductor absorption
+    fourier: object = None  # scene-level FourierTable (one per scene)
     present_kinds: tuple = struct.field(pytree_node=False, default=ALL_KINDS)
 
     @property
@@ -86,7 +88,8 @@ def slot(lobes: Lobes, l) -> Lobes:
         pick = lambda a: gth.select_slot(a, l)
     return Lobes(*(pick(getattr(lobes, f)) for f in (
         "kind", "albedo", "specular", "alpha", "distrib", "fr_kind",
-        "eta", "eta_t", "k")), present_kinds=lobes.present_kinds)
+        "eta", "eta_t", "k")), fourier=lobes.fourier,
+        present_kinds=lobes.present_kinds)
 
 
 def num_active(lobes: Lobes):
@@ -223,6 +226,13 @@ def eval_lobe(lb: Lobes, wo, wi):
         out = jnp.where(
             k[..., None] == FRESNEL_BLEND, _fresnel_blend_eval(lb, wo, wi), out
         )
+    if lb.has(FOURIER) and lb.fourier is not None:
+        from . import fourier as fourier_mod
+
+        out = jnp.where(
+            k[..., None] == FOURIER,
+            fourier_mod.eval_fourier(lb.fourier, wo, wi), out,
+        )
     return out
 
 
@@ -249,6 +259,12 @@ def pdf_lobe(lb: Lobes, wo, wi):
                 same & ok, 0.5 * (cos_hemisphere_pdf(wi) + p_mf), 0.0
             )
             out = jnp.where(k == FRESNEL_BLEND, p_fb, out)
+    if lb.has(FOURIER) and lb.fourier is not None:
+        from . import fourier as fourier_mod
+
+        out = jnp.where(
+            k == FOURIER, fourier_mod.pdf_fourier(lb.fourier, wo, wi), out
+        )
     return jnp.maximum(out, 0.0)
 
 
@@ -321,9 +337,20 @@ def sample_lobe(lb: Lobes, wo, u2):
         wi_diel = jnp.where(diel_reflect[..., None], wi_mirror, wi_refr)
         wi = jnp.where(k[..., None] == SPEC_DIELECTRIC, wi_diel, wi)
 
+    if has(FOURIER) and lb.fourier is not None:
+        from . import fourier as fourier_mod
+
+        f_f, wi_f, pdf_f = fourier_mod.sample_fourier_bsdf(lb.fourier, wo, u2)
+        wi = jnp.where(k[..., None] == FOURIER, wi_f, wi)
+
     # --- smooth f/pdf via shared eval ---
     f = eval_lobe(lb, wo, wi)
     p = pdf_lobe(lb, wo, wi)
+    if has(FOURIER) and lb.fourier is not None:
+        # The azimuth sampler returns its own f/pdf (cheaper and exact for
+        # the sampled direction).
+        f = jnp.where(k[..., None] == FOURIER, f_f, f)
+        p = jnp.where(k == FOURIER, pdf_f, p)
     # Microfacet / FB-specular samples below the horizon are rejected.
     if has(MICROFACET, FRESNEL_BLEND):
         same = mf.same_hemisphere(wo, wi)

@@ -44,6 +44,7 @@ class MaterialTable:
     tex_id: jnp.ndarray  # [M,L] int32, -1 = solid albedo
     emission: jnp.ndarray  # [M,3]
     packed: jnp.ndarray  # [M,C] all fields packed for one-shot row lookup
+    fourier: object = None  # scene-level FourierTable, if any material uses it
     textured_slots: tuple = struct.field(pytree_node=False, default=())
     layout: tuple = struct.field(pytree_node=False, default=())
     present_kinds: tuple = struct.field(pytree_node=False,
@@ -77,7 +78,7 @@ def shading_at(table: MaterialTable, textures: tex.TextureTable, mat_id, uv,
     lobes = lb.Lobes(
         kind=kind, albedo=albedo, specular=specular, alpha=alpha,
         distrib=distrib, fr_kind=fr_kind, eta=eta, eta_t=eta_t, k=k,
-        present_kinds=table.present_kinds,
+        fourier=table.fourier, present_kinds=table.present_kinds,
     )
     return lobes, emission
 
@@ -117,6 +118,7 @@ class MaterialBuilder:
 
     def __init__(self):
         self.materials = []  # list[(lobes, emission)]
+        self.fourier_table = None  # at most one per scene
 
     def _add(self, lobes, emission=(0, 0, 0)) -> int:
         assert len(lobes) <= MAX_LOBES
@@ -171,6 +173,20 @@ class MaterialBuilder:
             _Lobe(lb.SPEC_DIELECTRIC, albedo=reflect, fr_kind=fr.DIELECTRIC,
                   eta=(1.0, ior))
         ])
+
+    def add_fourier(self, table) -> int:
+        """Measured Fourier BSDF (one shared table per scene).
+        [ref: material/src/lib.rs:451-475]"""
+        if self.fourier_table is not None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "multiple fourier materials share one table per scene; "
+                "reusing the first table"
+            )
+        else:
+            self.fourier_table = table
+        return self._add([_Lobe(lb.FOURIER)])
 
     def add_diffuse_light(self, emit) -> int:
         """No lobes; emission only. [ref: lib.rs:291-296]"""
@@ -278,6 +294,7 @@ class MaterialBuilder:
             eta=jnp.asarray(eta), eta_t=jnp.asarray(eta_t), k=jnp.asarray(kk),
             tex_id=jnp.asarray(tex_id), emission=jnp.asarray(emission),
             packed=jnp.asarray(packed),
+            fourier=self.fourier_table,
             textured_slots=tuple(sorted(textured)),
             layout=layout,
             present_kinds=tuple(sorted(

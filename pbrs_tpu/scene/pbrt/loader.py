@@ -9,8 +9,8 @@ Notable parity decisions:
   replicate pbrt-v3's transposed rotation matrix (loader.rs:786-802) — kept.
 * Object instancing implemented for real (reference `unimplemented!`,
   loader.rs:768-782).
-* Fourier materials fall back to matte-gray with a warning until the
-  Fourier BSDF lobe lands (see repo TODO).
+* Fourier materials load real SCATFUN tables into the device Fourier lobe
+  (one shared table per scene).
 """
 
 from __future__ import annotations
@@ -497,10 +497,13 @@ class PbrtLoader:
             return m.add_substrate(kd, ks, rough, remap_roughness=remap,
                                    kd_tex=kd_tex)
         if impl == "fourier":
-            log.warning(
-                "fourier material: table-driven lobe not yet wired; "
-                "substituting matte gray"
-            )
+            from ...bxdf import fourier as fourier_mod
+
+            bsdffile = params.string("bsdffile")
+            if bsdffile:
+                table = fourier_mod.load_scatfun(self.resolve(bsdffile))
+                return m.add_fourier(table)
+            log.error("fourier material without bsdffile; substituting matte")
             return m.add_matte((0.5, 0.5, 0.5))
         log.error("unrecognized material %r; substituting matte", impl)
         return m.add_matte((0.5, 0.5, 0.5))
