@@ -36,8 +36,18 @@ class FlatBVH:
     depth: int = 0
 
 
-def build_bvh(prim_bbox_min, prim_bbox_max, max_leaf=MAX_LEAF) -> FlatBVH:
-    """Binned-SAH BVH over primitive AABBs."""
+def build_bvh(prim_bbox_min, prim_bbox_max, max_leaf=MAX_LEAF,
+              use_native=True) -> FlatBVH:
+    """Binned-SAH BVH over primitive AABBs.
+
+    Delegates to the C++ builder (native/pbrs_host.cpp) when it compiles;
+    the NumPy implementation below is the reference/fallback."""
+    if use_native:
+        from . import native
+
+        built = native.build_bvh_native(prim_bbox_min, prim_bbox_max, max_leaf)
+        if built is not None:
+            return built
     lo = np.asarray(prim_bbox_min, np.float32)
     hi = np.asarray(prim_bbox_max, np.float32)
     p = lo.shape[0]
