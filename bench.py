@@ -21,6 +21,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 def main():
     from pbrs_tpu.accel import dispatch as trace_dispatch
+    from pbrs_tpu.accel import fused_kernel as fk
     from pbrs_tpu.core import sampler as smp
     from pbrs_tpu.geometry import camera as cam_mod
     from pbrs_tpu.integrators import wavefront
@@ -42,15 +43,28 @@ def main():
 
     n = size * size
     pix = jnp.arange(min(n, chunk), dtype=jnp.int32)
-    isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene)
 
-    @jax.jit
-    def step(s):
-        rad, count = wavefront.render_samples(
-            scene, sampler, pix, s, max_depth=depth, msaa=2,
-            return_ray_count=True, intersect_fn=isect_fn, occlude_fn=occl_fn,
-        )
-        return jnp.sum(rad), count
+    if fk.scene_supports_fused(scene):
+        integ = fk.FusedDiffuseIntegrator(scene)
+
+        @jax.jit
+        def step(s):
+            rad, count = integ.render_samples(
+                sampler, pix, s, max_depth=depth, msaa=2,
+                return_ray_count=True,
+            )
+            return jnp.sum(rad), count
+    else:
+        isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene)
+
+        @jax.jit
+        def step(s):
+            rad, count = wavefront.render_samples(
+                scene, sampler, pix, s, max_depth=depth, msaa=2,
+                return_ray_count=True, intersect_fn=isect_fn,
+                occlude_fn=occl_fn,
+            )
+            return jnp.sum(rad), count
 
     # Warmup / compile.
     for s in range(warmup_samples):

@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark sweep over the BASELINE.md configs.
+
+`bench.py` prints the single headline JSON line for the driver; this script
+measures every config and writes benchmarks.json. Run on TPU.
+
+Configs [ref: BASELINE.md / BASELINE.json]:
+  1. Cornell box, direct lighting, 256², 16 spp
+  2. Cornell box, path, 512², 64 spp, 8 bounces
+  3. Triangle-mesh scene (mesh_ball), matte + glass, BVH traversal
+  4. Multi-primitive scene with area lights, MIS, microfacet (plates), 1024²
+  5. Large mixed scene (everything preset: 2400 quads + 1000-sphere cluster)
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
+def run_config(name, scene, size, spp, depth, integrator="path"):
+    from pbrs_tpu.accel import dispatch as td
+    from pbrs_tpu.core import sampler as smp
+    from pbrs_tpu.geometry import camera as cam_mod
+    from pbrs_tpu.integrators import direct as direct_mod
+    from pbrs_tpu.integrators import wavefront
+
+    cam = scene.camera
+    scale_w = (cam.width // 2) / (size[0] // 2)
+    scale_h = (cam.height // 2) / (size[1] // 2)
+    fresh = cam_mod.make_camera(size, 40.0)
+    scene = scene.replace(camera=fresh.replace(
+        center=cam.center, orientation=cam.orientation,
+        a=cam.a * scale_w, b=cam.b * scale_h, c=cam.c,
+    ))
+    isect_fn, occl_fn = td.make_trace_fns(scene)
+    sampler = smp.PCGSampler(0)
+    n = size[0] * size[1]
+    pix = jnp.arange(n, dtype=jnp.int32)
+    msaa = max(1, int(round(spp ** 0.5)))
+
+    # Pack samples into the launch until ~1M lanes are in flight.
+    samples_per_launch = max(1, min(msaa * msaa, (1 << 20) // n))
+    lanes = jnp.tile(pix, samples_per_launch)
+    def sample_ids(base):
+        return jnp.repeat(
+            base + jnp.arange(samples_per_launch), n
+        ).astype(jnp.int32)
+
+    if integrator == "path":
+        def step(base):
+            rad, cnt = wavefront.render_samples(
+                scene, sampler, lanes, sample_ids(base), max_depth=depth,
+                msaa=msaa, intersect_fn=isect_fn, occlude_fn=occl_fn,
+                return_ray_count=True,
+            )
+            return jnp.sum(rad), cnt
+        fn = jax.jit(step)
+        acc0, cnt = fn(0)
+        acc0.block_until_ready()
+        iters = max(1, min(4, (msaa * msaa) // samples_per_launch))
+        t0 = time.time()
+        total = 0.0
+        acc = 0.0
+        for s in range(1, 1 + iters):
+            a, cnt = fn(s * samples_per_launch)
+            total += float(cnt)
+            acc += float(a)
+        dt = time.time() - t0
+        iters_samples = iters * samples_per_launch
+        full_time = dt / iters_samples * (msaa * msaa)
+        mrays = total / dt / 1e6
+        return {
+            "config": name, "resolution": list(size), "spp": msaa * msaa,
+            "depth": depth, "mrays_per_sec": round(mrays, 2),
+            "wall_to_target_spp_sec": round(full_time, 3),
+            "checksum": round(acc, 1),
+            "samples_per_launch": samples_per_launch,
+        }
+    if True:
+        def step(base):
+            sid = sample_ids(base)
+            rad = direct_mod.direct_radiance(
+                scene, wavefront.camera_rays(scene, sampler, lanes, sid, msaa),
+                sampler, lanes, sid, depth=2,
+                intersect_fn=isect_fn, occlude_fn=occl_fn,
+            )
+            return jnp.sum(rad)
+        fn = jax.jit(step)
+        fn(0).block_until_ready()
+        iters = max(1, min(4, (msaa * msaa) // samples_per_launch))
+        t0 = time.time()
+        acc = 0.0
+        for s in range(1, 1 + iters):
+            acc += float(fn(s * samples_per_launch))
+        dt = time.time() - t0
+        iters_samples = iters * samples_per_launch
+        full_time = dt / iters_samples * (msaa * msaa)
+        # direct: 2 segments deep, 1 closest + 2 shadow batches each
+        mrays = n * iters_samples * 6 / dt / 1e6
+    return {
+        "config": name,
+        "resolution": list(size),
+        "spp": msaa * msaa,
+        "depth": depth,
+        "mrays_per_sec": round(mrays, 2),
+        "wall_to_target_spp_sec": round(full_time, 3),
+        "checksum": round(acc, 1),
+        "samples_per_launch": samples_per_launch,
+    }
+
+
+def main():
+    from pbrs_tpu.scene import presets
+
+    results = []
+    results.append(run_config(
+        "cornell_direct_256_16spp", presets.cornell_box(), (256, 256), 16, 2,
+        integrator="direct",
+    ))
+    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+    results.append(run_config(
+        "cornell_path_512_64spp_8b", presets.cornell_box(), (512, 512), 64, 8,
+    ))
+    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+    results.append(run_config(
+        "cornell_path_1024_8b", presets.cornell_box(), (1024, 1024), 4, 8,
+    ))
+    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+    results.append(run_config(
+        "mesh_ball_bvh_800x600", presets.mesh_ball(levels=5), (800, 608), 4, 6,
+    ))
+    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+    results.append(run_config(
+        "plates_mis_microfacet_1024", presets.plates(), (1024, 1024), 4, 5,
+    ))
+    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+    results.append(run_config(
+        "everything_3400prims_800", presets.everything(), (800, 800), 4, 5,
+    ))
+    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+
+    with open("benchmarks.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"benchmarks": len(results)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -91,6 +91,14 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
 
     isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene, use_pallas)
 
+    use_fused = False
+    if integrator == "path" and use_nee and pixel_filter is None and (
+        use_pallas or (use_pallas is None and jax.default_backend() != "cpu")
+    ):
+        from .accel import fused_kernel as fk
+
+        use_fused = fk.scene_supports_fused(scene)
+
     filter_inv = None
     if pixel_filter is not None:
         from .core import filters as flt
@@ -101,7 +109,15 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
                  "sinc": flt.LANCZOS, "lanczos": flt.LANCZOS}
         filter_inv = flt.make_filter_cdf(kinds[kind], float(radius))
 
-    if integrator == "path":
+    if integrator == "path" and use_fused:
+        from .accel import fused_kernel as fk
+
+        fused = fk.FusedDiffuseIntegrator(scene)
+
+        def kernel(scene_, sampler_, pix, s, **_kw):
+            return fused.render_samples(sampler_, pix, s,
+                                        max_depth=max_depth, msaa=msaa)
+    elif integrator == "path":
         kernel = partial(wavefront.render_samples, max_depth=max_depth,
                          msaa=msaa, use_nee=use_nee, intersect_fn=isect_fn,
                          occlude_fn=occl_fn, filter_inv_cdf=filter_inv)
@@ -127,20 +143,34 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
 
     stats = RenderStats(spp=spp_total)
     pixel_all = np.arange(pad_n, dtype=np.int32) % n  # pad wraps, cheap
+    # Pack multiple samples into one launch when the frame is small: the
+    # chip wants ~1M lanes in flight.
+    samples_per_launch = max(1, min(spp_total, chunk // max(n, 1)))
     t0 = time.time()
-    for s in range(film.samples_done, spp_total):
+    s = film.samples_done
+    while s < spp_total:
+        batch = min(samples_per_launch, spp_total - s)
         for c in range(n_chunks):
             pix = jnp.asarray(pixel_all[c * chunk:(c + 1) * chunk])
-            rad = np.asarray(jitted(scene, pix, s))
+            if batch > 1:
+                lanes = jnp.tile(pix, batch)
+                sid = jnp.repeat(s + jnp.arange(batch), pix.shape[0]).astype(
+                    jnp.int32
+                )
+                rad = np.asarray(jitted(scene, lanes, sid))
+                rad = rad.reshape(batch, pix.shape[0], 3).sum(axis=0)
+            else:
+                rad = np.asarray(jitted(scene, pix, s))
             lo, hi = c * chunk, min((c + 1) * chunk, n)
             film.accum[lo:hi] += rad[: hi - lo]
             stats.launches += 1
-        film.samples_done = s + 1
-        stats.camera_rays += n
+        s += batch
+        film.samples_done = s
+        stats.camera_rays += n * batch
         if progress:
-            print(f"  sample {s + 1}/{spp_total}", flush=True)
+            print(f"  sample {s}/{spp_total}", flush=True)
         if checkpoint_path and checkpoint_every and (
-            (s + 1) % checkpoint_every == 0
+            s % checkpoint_every < batch
         ):
             film.save(checkpoint_path)
     stats.wall_time = time.time() - t0
