@@ -54,13 +54,25 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
         ).astype(jnp.int32)
 
     if integrator == "path":
-        def step(base):
-            rad, cnt = wavefront.render_samples(
-                scene, sampler, lanes, sample_ids(base), max_depth=depth,
-                msaa=msaa, intersect_fn=isect_fn, occlude_fn=occl_fn,
-                return_ray_count=True,
-            )
-            return jnp.sum(rad), cnt
+        from pbrs_tpu.accel import fused_kernel as fk
+
+        if fk.scene_supports_fused(scene):
+            integ = fk.FusedDiffuseIntegrator(scene)
+
+            def step(base):
+                rad, cnt = integ.render_samples(
+                    sampler, lanes, sample_ids(base), max_depth=depth,
+                    msaa=msaa, return_ray_count=True,
+                )
+                return jnp.sum(rad), cnt
+        else:
+            def step(base):
+                rad, cnt = wavefront.render_samples(
+                    scene, sampler, lanes, sample_ids(base), max_depth=depth,
+                    msaa=msaa, intersect_fn=isect_fn, occlude_fn=occl_fn,
+                    return_ray_count=True,
+                )
+                return jnp.sum(rad), cnt
         fn = jax.jit(step)
         acc0, cnt = fn(0)
         acc0.block_until_ready()

@@ -103,9 +103,9 @@ def _u1(seed, pixel, sample, bounce, dim, lane=0):
                               jnp.uint32(lane)))
 
 
-def _trace_tables(params_ref, counts, rox, roy, roz, rdx, rdy, rdz, t_max,
+def _trace_tables(cols, counts, rox, roy, roz, rdx, rdy, rdz, t_max,
                   want_closest=True):
-    """Closest-hit (t, prim) or any-hit over the SMEM prim bank — shared
+    """Closest-hit (t, prim) or any-hit over the SMEM prim columns — shared
     logic with trace_pallas but inlined for fusion."""
     n_sph, n_quad, n_tri, n_disk = counts
     t_best = jnp.full(rox.shape, BIG, jnp.float32)
@@ -118,7 +118,7 @@ def _trace_tables(params_ref, counts, rox, roy, roz, rdx, rdy, rdz, t_max,
         return jnp.where(closer, t, t_b), jnp.where(closer, pid, i_b)
 
     def sphere_body(i, carry):
-        p = lambda j: params_ref[i, j]
+        p = lambda j: cols[j][i]
         cx, cy, cz, r = p(0), p(1), p(2), p(3)
         fx, fy, fz = rox - cx, roy - cy, roz - cz
         a = rdx * rdx + rdy * rdy + rdz * rdz
@@ -144,7 +144,7 @@ def _trace_tables(params_ref, counts, rox, roy, roz, rdx, rdy, rdz, t_max,
         return consider(t, ok, i, carry)
 
     def quad_body(i, carry):
-        p = lambda j: params_ref[n_sph + i, j]
+        p = lambda j: cols[j][n_sph + i]
         ox_, oy_, oz_ = p(0), p(1), p(2)
         ux, uy, uz = p(3), p(4), p(5)
         vx, vy, vz = p(6), p(7), p(8)
@@ -171,7 +171,7 @@ def _trace_tables(params_ref, counts, rox, roy, roz, rdx, rdy, rdz, t_max,
         return consider(t, ok, n_sph + i, carry)
 
     def tri_body(i, carry):
-        p = lambda j: params_ref[n_sph + n_quad + i, j]
+        p = lambda j: cols[j][n_sph + n_quad + i]
         p0x, p0y, p0z = p(0), p(1), p(2)
         nx, ny, nz = p(9), p(10), p(11)
         p1x, p1y, p1z = p(3), p(4), p(5)
@@ -202,7 +202,7 @@ def _trace_tables(params_ref, counts, rox, roy, roz, rdx, rdy, rdz, t_max,
         return consider(t, ok, n_sph + n_quad + i, carry)
 
     def disk_body(i, carry):
-        p = lambda j: params_ref[n_sph + n_quad + n_tri + i, j]
+        p = lambda j: cols[j][n_sph + n_quad + n_tri + i]
         cx_, cy_, cz_ = p(0), p(1), p(2)
         nx, ny, nz = p(3), p(4), p(5)
         r2 = p(6)
@@ -224,19 +224,21 @@ def _trace_tables(params_ref, counts, rox, roy, roz, rdx, rdy, rdz, t_max,
     return carry
 
 
-def _occluded(params_ref, counts, ox, oy, oz, dx, dy, dz, t_max):
-    t, _ = _trace_tables(params_ref, counts, ox, oy, oz, dx, dy, dz, t_max)
+def _occluded(cols, counts, ox, oy, oz, dx, dy, dz, t_max):
+    t, _ = _trace_tables(cols, counts, ox, oy, oz, dx, dy, dz, t_max)
     return t < BIG
 
 
 def _bounce_kernel(
-    params_ref, mats_ref, lights_ref, ints_ref, scal_ref,
-    ox, oy, oz, dx, dy, dz,
-    beta_r, beta_g, beta_b, alive_in, pixel, sample,
-    rad_r, rad_g, rad_b, nox, noy, noz, ndx, ndy, ndz,
-    beta_r_o, beta_g_o, beta_b_o, alive_out, raycnt,
-    *, counts, n_mats, n_area, env_kind, bounce_is_first, rr_active,
+    *refs,
+    counts, n_mats, n_area, env_kind, bounce_is_first, rr_active,
 ):
+    cols = refs[:16]
+    (mats_ref, lights_ref, ints_ref, scal_ref) = refs[16:20]
+    (ox, oy, oz, dx, dy, dz, beta_r, beta_g, beta_b, alive_in, pixel,
+     sample) = refs[20:32]
+    (rad_r, rad_g, rad_b, nox, noy, noz, ndx, ndy, ndz,
+     beta_r_o, beta_g_o, beta_b_o, alive_out, raycnt) = refs[32:46]
     """One full wavefront bounce over a ray tile.
 
     ints_ref (SMEM i32): [seed, bounce]; scal_ref (SMEM f32): env colors x6.
@@ -257,8 +259,7 @@ def _bounce_kernel(
     n_rays += jnp.sum(alive.astype(jnp.float32))
 
     # ---- closest hit + detail ----
-    t, pid = _trace_tables(params_ref, counts, rox, roy, roz, rdx, rdy, rdz,
-                           inf)
+    t, pid = _trace_tables(cols, counts, rox, roy, roz, rdx, rdy, rdz, inf)
     hit = t < BIG
     t_safe = jnp.where(hit, t, 1.0)
 
@@ -279,7 +280,7 @@ def _bounce_kernel(
     def detail_sphere(i, carry):
         nx, ny, nz, tx, ty, tz, pxx, pyy, pzz, mat = carry
         sel = pid == i
-        p = lambda j: params_ref[i, j]
+        p = lambda j: cols[j][i]
         cx, cy, cz, r = p(0), p(1), p(2), p(3)
         gx, gy, gz = px - cx, py - cy, pz - cz
         inv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
@@ -301,13 +302,13 @@ def _bounce_kernel(
             jnp.where(sel, cx + ux * r_out, pxx),
             jnp.where(sel, cy + uy * r_out, pyy),
             jnp.where(sel, cz + uz * r_out, pzz),
-            jnp.where(sel, params_ref[i, 13].astype(jnp.int32), mat),
+            jnp.where(sel, cols[13][i].astype(jnp.int32), mat),
         )
 
     def detail_quad(i, carry):
         nx, ny, nz, tx, ty, tz, pxx, pyy, pzz, mat = carry
         sel = pid == (n_sph + i)
-        p = lambda j: params_ref[n_sph + i, j]
+        p = lambda j: cols[j][n_sph + i]
         qnx, qny, qnz = p(9), p(10), p(11)
         inv = jax.lax.rsqrt(jnp.maximum(
             qnx * qnx + qny * qny + qnz * qnz, 1e-30))
@@ -319,7 +320,7 @@ def _bounce_kernel(
             jnp.where(sel, p(3), tx), jnp.where(sel, p(4), ty),
             jnp.where(sel, p(5), tz),
             pxx, pyy, pzz,
-            jnp.where(sel, params_ref[n_sph + i, 13].astype(jnp.int32), mat),
+            jnp.where(sel, cols[13][n_sph + i].astype(jnp.int32), mat),
         )
 
     carry = (nx, ny, nz, tx, ty, tz, px, py, pz, mat_id)
@@ -483,7 +484,7 @@ def _bounce_kernel(
         soy = py + side * ny * SPAWN_EPS
         soz = pz + side * nz * SPAWN_EPS
         sdx, sdy, sdz = ptx - sox, pty - soy, ptz - soz
-        occ1 = _occluded(params_ref, counts, sox, soy, soz, sdx, sdy, sdz,
+        occ1 = _occluded(cols, counts, sox, soy, soz, sdx, sdy, sdz,
                          jnp.full_like(rox, 1.0 - 1e-3))
         w_l = pdf_l * pdf_l / jnp.maximum(
             pdf_l * pdf_l + pdf_scatter * pdf_scatter, 1e-30
@@ -549,7 +550,7 @@ def _bounce_kernel(
         # shadow trace along wi2 — bounded to the light point on the area
         # arm, unbounded on the env arm.
         tmax2 = jnp.where(arm_area & hit_l, t_hit * (1.0 - 1e-3), inf)
-        occ2 = _occluded(params_ref, counts, s2ox, s2oy, s2oz,
+        occ2 = _occluded(cols, counts, s2ox, s2oy, s2oz,
                          w2x, w2y, w2z, tmax2)
         w_b = pdf2 * pdf2 / jnp.maximum(pdf2 * pdf2 + pdf_l2 * pdf_l2, 1e-30)
         # radiance_to is two-sided in the reference (light/src/lib.rs:141-146)
@@ -648,16 +649,16 @@ class FusedDiffuseIntegrator:
     def __init__(self, scene, interpret=False):
         self.scene = scene
         self.interpret = interpret
-        self.params, self.counts = trace_pallas.prim_scalars(scene.geom)
-        # Append per-prim material ids as column 13 of the scalar bank.
+        cols, self.counts = trace_pallas.prim_scalars(scene.geom)
+        # Column 13 of the scalar bank carries per-prim material ids.
         geom = scene.geom
         mats = np.concatenate([
             np.asarray(geom.sph_mat), np.asarray(geom.quad_mat),
             np.asarray(geom.tri_mat), np.asarray(geom.disk_mat),
         ]).astype(np.float32)
-        bank = np.array(self.params)  # writable copy
-        bank[:, 13] = mats
-        self.params = jnp.asarray(bank)
+        cols = list(cols)
+        cols[13] = jnp.asarray(mats)
+        self.params = tuple(cols)
         mt = scene.materials
         self.mats = jnp.concatenate([
             jnp.asarray(mt.albedo)[:, 0, :], jnp.asarray(mt.emission)
@@ -749,6 +750,7 @@ def _bounce_call(params, mats, lights, ints, scal,
                  ox, oy, oz, dx, dy, dz, br, bg, bb, alive, pix, samp,
                  counts, n_mats, n_area, env_kind, bounce_is_first,
                  rr_active, interpret):
+    # params: tuple of 16 1-D SMEM prim columns.
     rows = ox.shape[0]
     grid = (rows // BLOCK_ROWS,)
     blk = lambda: pl.BlockSpec(
@@ -766,7 +768,7 @@ def _bounce_call(params, mats, lights, ints, scal,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem(), smem(), smem(), smem(), smem()]
+        in_specs=[smem()] * 16 + [smem(), smem(), smem(), smem()]
         + [blk() for _ in range(12)],
         out_specs=tuple([blk()] * n_out),
         out_shape=(
@@ -778,5 +780,5 @@ def _bounce_call(params, mats, lights, ints, scal,
             shp,  # ray count (per-lane avg encoding)
         ),
         interpret=interpret,
-    )(params, mats, lights, ints, scal, ox, oy, oz, dx, dy, dz, br, bg, bb,
+    )(*params, mats, lights, ints, scal, ox, oy, oz, dx, dy, dz, br, bg, bb,
       alive, pix, samp)

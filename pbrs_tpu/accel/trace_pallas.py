@@ -81,12 +81,20 @@ def prim_scalars(geom: GeometryTables, include_tris: bool = True):
         r2 = float((r * r).sum())
         rows.append([*c, *n, r2] + [0.0] * 9)
     bank = np.asarray(rows, np.float32)
-    return jnp.asarray(bank), counts
+    # 1-D component columns: 2-D SMEM tables pad the minor dim to 128 lanes
+    # (8x waste); sixteen 1-D arrays don't.
+    cols = tuple(jnp.asarray(np.ascontiguousarray(bank[:, j]))
+                 for j in range(16))
+    return cols, counts
 
 
-def _trace_kernel(params_ref, ox, oy, oz, dx, dy, dz, tmax,
-                  t_out, idx_out, *, counts, any_hit, do_tris=True):
-    """One ray tile vs every primitive. params_ref: SMEM [P, 16]."""
+def _trace_kernel(*refs, counts, any_hit, do_tris=True):
+    """One ray tile vs every primitive. refs: 16 SMEM prim columns +
+    7 ray planes + 2 outputs."""
+    cols = refs[:16]
+    ox, oy, oz, dx, dy, dz, tmax = refs[16:23]
+    t_out, idx_out = refs[23:25]
+    params_ref = None  # columns are read via _p below
     n_sph, n_quad, n_tri, n_disk = counts
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
@@ -102,7 +110,7 @@ def _trace_kernel(params_ref, ox, oy, oz, dx, dy, dz, tmax,
         return jnp.where(closer, t, t_best), jnp.where(closer, pid, idx_best)
 
     def sphere_body(i, carry):
-        p = lambda j: params_ref[i, j]
+        p = lambda j: cols[j][i]
         cx, cy, cz, r = p(0), p(1), p(2), p(3)
         fx, fy, fz = rox - cx, roy - cy, roz - cz
         a = rdx * rdx + rdy * rdy + rdz * rdz
@@ -128,7 +136,7 @@ def _trace_kernel(params_ref, ox, oy, oz, dx, dy, dz, tmax,
         return consider(t, ok, i, carry)
 
     def quad_body(i, carry):
-        p = lambda j: params_ref[n_sph + i, j]
+        p = lambda j: cols[j][n_sph + i]
         ox_, oy_, oz_ = p(0), p(1), p(2)
         ux, uy, uz = p(3), p(4), p(5)
         vx, vy, vz = p(6), p(7), p(8)
@@ -158,7 +166,7 @@ def _trace_kernel(params_ref, ox, oy, oz, dx, dy, dz, tmax,
     tri_rows = n_tri if do_tris else 0
 
     def tri_body(i, carry):
-        p = lambda j: params_ref[n_sph + n_quad + i, j]
+        p = lambda j: cols[j][n_sph + n_quad + i]
         p0x, p0y, p0z = p(0), p(1), p(2)
         p1x, p1y, p1z = p(3), p(4), p(5)
         p2x, p2y, p2z = p(6), p(7), p(8)
@@ -187,7 +195,7 @@ def _trace_kernel(params_ref, ox, oy, oz, dx, dy, dz, tmax,
         return consider(t, ok, n_sph + n_quad + i, carry)
 
     def disk_body(i, carry):
-        p = lambda j: params_ref[n_sph + n_quad + tri_rows + i, j]
+        p = lambda j: cols[j][n_sph + n_quad + tri_rows + i]
         cx_, cy_, cz_ = p(0), p(1), p(2)
         nx, ny, nz = p(3), p(4), p(5)
         r2 = p(6)
@@ -218,6 +226,7 @@ def _trace_kernel(params_ref, ox, oy, oz, dx, dy, dz, tmax,
                                               "do_tris"))
 def _trace_padded(params, ox, oy, oz, dx, dy, dz, tmax, counts,
                   interpret=False, do_tris=True):
+    # params: tuple of 16 1-D SMEM columns.
     rows = ox.shape[0]
     grid = (rows // BLOCK_ROWS,)
     blk = lambda: pl.BlockSpec(
@@ -228,8 +237,7 @@ def _trace_padded(params, ox, oy, oz, dx, dy, dz, tmax, counts,
     t, idx = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # params bank
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 16 + [
             blk(), blk(), blk(), blk(), blk(), blk(), blk(),
         ],
         out_specs=(blk(), blk()),
@@ -238,7 +246,7 @@ def _trace_padded(params, ox, oy, oz, dx, dy, dz, tmax, counts,
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ),
         interpret=interpret,
-    )(params, ox, oy, oz, dx, dy, dz, tmax)
+    )(*params, ox, oy, oz, dx, dy, dz, tmax)
     return t, idx
 
 
