@@ -40,13 +40,12 @@ def _pad_rows(n):
     return rows
 
 
-def prim_scalars(geom: GeometryTables, include_tris: bool = True):
+def prim_scalars(geom: GeometryTables, include=(True, True, True, True)):
     """Flatten primitive tables to a single f32 scalar bank [P, 16]:
     per-prim row = type-specific params. Order: spheres, quads, [tris,]
     disks. Global prim ids always follow the sphere/quad/tri/disk
-    convention of shapes/intersect.py; when tris are BVH-managed they are
-    excluded from the bank (SMEM is ~1MB) and the kernel offsets disk ids
-    accordingly."""
+    convention of shapes/intersect.py; BVH-managed families are excluded
+    from the bank (SMEM is ~1MB) and the kernel adjusts row offsets."""
     sph_c = np.asarray(geom.sph_center)
     sph_r = np.asarray(geom.sph_radius)
     q_o = np.asarray(geom.quad_origin)
@@ -63,13 +62,15 @@ def prim_scalars(geom: GeometryTables, include_tris: bool = True):
         sph_c.shape[0], q_o.shape[0], t_p0.shape[0], d_c.shape[0]
     )
     rows = []
-    for c, r in zip(sph_c, sph_r):
-        rows.append([*c, r] + [0.0] * 12)
-    for o, u, v in zip(q_o, q_u, q_v):
-        n = np.cross(u, v)
-        n2 = max(float((n * n).sum()), 1e-30)
-        rows.append([*o, *u, *v, *n, n2] + [0.0] * 3)
-    if include_tris:
+    if include[0]:
+        for c, r in zip(sph_c, sph_r):
+            rows.append([*c, r] + [0.0] * 12)
+    if include[1]:
+        for o, u, v in zip(q_o, q_u, q_v):
+            n = np.cross(u, v)
+            n2 = max(float((n * n).sum()), 1e-30)
+            rows.append([*o, *u, *v, *n, n2] + [0.0] * 3)
+    if include[2]:
         for p0, p1, p2 in zip(t_p0, t_p1, t_p2):
             n = np.cross(p0 - p1, p2 - p1)
             ln = np.linalg.norm(n)
@@ -77,9 +78,12 @@ def prim_scalars(geom: GeometryTables, include_tris: bool = True):
             # -> the plane test can never pass.
             n = n / ln if ln > 0 else np.zeros(3)
             rows.append([*p0, *p1, *p2, *n] + [0.0] * 4)
-    for c, n, r in zip(d_c, d_n, d_r):
-        r2 = float((r * r).sum())
-        rows.append([*c, *n, r2] + [0.0] * 9)
+    if include[3]:
+        for c, n, r in zip(d_c, d_n, d_r):
+            r2 = float((r * r).sum())
+            rows.append([*c, *n, r2] + [0.0] * 9)
+    if not rows:
+        rows.append([0.0] * 16)
     bank = np.asarray(rows, np.float32)
     # 1-D component columns: 2-D SMEM tables pad the minor dim to 128 lanes
     # (8x waste); sixteen 1-D arrays don't.
@@ -88,13 +92,12 @@ def prim_scalars(geom: GeometryTables, include_tris: bool = True):
     return cols, counts
 
 
-def _trace_kernel(*refs, counts, any_hit, do_tris=True):
+def _trace_kernel(*refs, counts, any_hit, do_types=(True, True, True, True)):
     """One ray tile vs every primitive. refs: 16 SMEM prim columns +
-    7 ray planes + 2 outputs."""
+    7 ray planes + 2 outputs. do_types masks families handled by BVHs."""
     cols = refs[:16]
     ox, oy, oz, dx, dy, dz, tmax = refs[16:23]
     t_out, idx_out = refs[23:25]
-    params_ref = None  # columns are read via _p below
     n_sph, n_quad, n_tri, n_disk = counts
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
@@ -136,7 +139,7 @@ def _trace_kernel(*refs, counts, any_hit, do_tris=True):
         return consider(t, ok, i, carry)
 
     def quad_body(i, carry):
-        p = lambda j: cols[j][n_sph + i]
+        p = lambda j: cols[j][sph_rows + i]
         ox_, oy_, oz_ = p(0), p(1), p(2)
         ux, uy, uz = p(3), p(4), p(5)
         vx, vy, vz = p(6), p(7), p(8)
@@ -162,11 +165,14 @@ def _trace_kernel(*refs, counts, any_hit, do_tris=True):
         )
         return consider(t, ok, n_sph + i, carry)
 
-    # Bank rows: tris occupy rows only when do_tris (BVH absent).
+    do_sph, do_quad, do_tris, do_disk = do_types
+    # Bank rows follow the same layout but skip BVH-managed families.
+    sph_rows = n_sph if do_sph else 0
+    quad_rows = n_quad if do_quad else 0
     tri_rows = n_tri if do_tris else 0
 
     def tri_body(i, carry):
-        p = lambda j: cols[j][n_sph + n_quad + i]
+        p = lambda j: cols[j][sph_rows + quad_rows + i]
         p0x, p0y, p0z = p(0), p(1), p(2)
         p1x, p1y, p1z = p(3), p(4), p(5)
         p2x, p2y, p2z = p(6), p(7), p(8)
@@ -195,7 +201,7 @@ def _trace_kernel(*refs, counts, any_hit, do_tris=True):
         return consider(t, ok, n_sph + n_quad + i, carry)
 
     def disk_body(i, carry):
-        p = lambda j: cols[j][n_sph + n_quad + tri_rows + i]
+        p = lambda j: cols[j][sph_rows + quad_rows + tri_rows + i]
         cx_, cy_, cz_ = p(0), p(1), p(2)
         nx, ny, nz = p(3), p(4), p(5)
         r2 = p(6)
@@ -210,11 +216,14 @@ def _trace_kernel(*refs, counts, any_hit, do_tris=True):
         return consider(t, ok, n_sph + n_quad + n_tri + i, carry)
 
     carry = (t_best, idx_best)
-    carry = jax.lax.fori_loop(0, n_sph, sphere_body, carry)
-    carry = jax.lax.fori_loop(0, n_quad, quad_body, carry)
+    if do_sph:
+        carry = jax.lax.fori_loop(0, n_sph, sphere_body, carry)
+    if do_quad:
+        carry = jax.lax.fori_loop(0, n_quad, quad_body, carry)
     if do_tris:
         carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
-    carry = jax.lax.fori_loop(0, n_disk, disk_body, carry)
+    if do_disk:
+        carry = jax.lax.fori_loop(0, n_disk, disk_body, carry)
     t_best, idx_best = carry
 
     miss = t_best >= BIG
@@ -223,9 +232,9 @@ def _trace_kernel(*refs, counts, any_hit, do_tris=True):
 
 
 @functools.partial(jax.jit, static_argnames=("counts", "interpret",
-                                              "do_tris"))
+                                              "do_types"))
 def _trace_padded(params, ox, oy, oz, dx, dy, dz, tmax, counts,
-                  interpret=False, do_tris=True):
+                  interpret=False, do_types=(True, True, True, True)):
     # params: tuple of 16 1-D SMEM columns.
     rows = ox.shape[0]
     grid = (rows // BLOCK_ROWS,)
@@ -233,7 +242,7 @@ def _trace_padded(params, ox, oy, oz, dx, dy, dz, tmax, counts,
         (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(_trace_kernel, counts=counts, any_hit=False,
-                               do_tris=do_tris)
+                               do_types=do_types)
     t, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -260,17 +269,55 @@ class PallasTracer:
         self.params, self.counts = prim_scalars(geom)
         self.geom = geom
         self.interpret = interpret
-        self.mesh = None
-        if self.counts[2] > BVH_THRESHOLD:
-            base = self.counts[0] + self.counts[1]
-            self.mesh = mesh_pallas.MeshBVHTracer(
-                np.asarray(geom.tri_p0), np.asarray(geom.tri_p1),
-                np.asarray(geom.tri_p2), global_base=base,
+        n_sph, n_quad, n_tri, n_disk = self.counts
+        base_sph = 0
+        base_quad = n_sph
+        base_tri = n_sph + n_quad
+        base_disk = n_sph + n_quad + n_tri
+        self.bvhs = []
+        do = [True, True, True, True]
+        mp = mesh_pallas
+        if n_sph > BVH_THRESHOLD:
+            c = np.asarray(geom.sph_center)
+            r = np.asarray(geom.sph_radius)
+            gid = (base_sph + np.arange(n_sph)).astype(np.float32)
+            lo = c - r[:, None]
+            hi = c + r[:, None]
+            self.bvhs.append(mp.PrimBVHTracer(
+                mp.KIND_SPHERE, mp.sphere_slot_cols(c, r, gid), lo, hi,
                 interpret=interpret,
-            )
-            # Rebuild the scalar bank without the BVH-managed triangles
-            # (the bank lives in SMEM).
-            self.params, _ = prim_scalars(geom, include_tris=False)
+            ))
+            do[0] = False
+        if n_quad > BVH_THRESHOLD:
+            o = np.asarray(geom.quad_origin)
+            u = np.asarray(geom.quad_u)
+            v = np.asarray(geom.quad_v)
+            gid = (base_quad + np.arange(n_quad)).astype(np.float32)
+            corners = np.stack([o, o + u, o + v, o + u + v])
+            self.bvhs.append(mp.PrimBVHTracer(
+                mp.KIND_QUAD, mp.quad_slot_cols(o, u, v, gid),
+                corners.min(0), corners.max(0), interpret=interpret,
+            ))
+            do[1] = False
+        if n_tri > BVH_THRESHOLD:
+            p0 = np.asarray(geom.tri_p0)
+            p1 = np.asarray(geom.tri_p1)
+            p2 = np.asarray(geom.tri_p2)
+            gid = (base_tri + np.arange(n_tri)).astype(np.float32)
+            lo, hi = (np.minimum(np.minimum(p0, p1), p2),
+                      np.maximum(np.maximum(p0, p1), p2))
+            self.bvhs.append(mp.PrimBVHTracer(
+                mp.KIND_TRI, mp.tri_slot_cols(p0, p1, p2, gid), lo, hi,
+                interpret=interpret,
+            ))
+            do[2] = False
+        self.do_types = tuple(do)
+        # Kept for tests/back-compat: the triangle BVH if one exists.
+        self.mesh = next(
+            (b for b in self.bvhs if b.kind == mp.KIND_TRI), None
+        )
+        if not all(do):
+            self.params, _ = prim_scalars(geom, include=self.do_types)
 
     def _components(self, rays: ray_mod.RayBatch):
         n = rays.origin.shape[0]
@@ -291,11 +338,11 @@ class PallasTracer:
         comps, n = self._components(rays)
         t, idx = _trace_padded(
             self.params, *comps, counts=self.counts,
-            interpret=self.interpret, do_tris=self.mesh is None,
+            interpret=self.interpret, do_types=self.do_types,
         )
         t, idx = t.reshape(-1)[:n], idx.reshape(-1)[:n]
-        if self.mesh is not None:
-            t2, idx2 = self.mesh.trace(rays, any_hit=any_hit)
+        for bvh in self.bvhs:
+            t2, idx2 = bvh.trace(rays, any_hit=any_hit)
             closer = t2 < t
             t = jnp.where(closer, t2, t)
             idx = jnp.where(closer, idx2, idx)

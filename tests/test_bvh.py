@@ -102,32 +102,31 @@ def test_native_builder_matches_numpy_validity():
     nn = nat.bbox_min.shape[0]
     assert (nat.skip > np.arange(nn)).all() and (nat.skip <= nn).all()
     # Traversal with the native tree gives identical hits (interpret mode).
-    tracer = mesh_pallas.MeshBVHTracer.__new__(mesh_pallas.MeshBVHTracer)
-    tracer.block_rows = mesh_pallas.BLOCK_ROWS
-    tracer.bvh = nat
-    tracer.node_arrays, tracer.leaf_rows = mesh_pallas.pack_mesh(
-        nat, p0, p1, p2, 0
-    )
-    tracer.num_nodes = int(tracer.node_arrays[0].shape[0])
-    tracer.interpret = True
+    gid = np.arange(p0.shape[0]).astype(np.float32)
+    slots = mesh_pallas.tri_slot_cols(p0, p1, p2, gid)
+
+    def make(bvh):
+        tracer = mesh_pallas.PrimBVHTracer.__new__(mesh_pallas.PrimBVHTracer)
+        tracer.kind = mesh_pallas.KIND_TRI
+        tracer.block_rows = mesh_pallas.BLOCK_ROWS
+        tracer.bvh = bvh
+        tracer.node_arrays, tracer.leaf_rows = mesh_pallas.pack_mesh(
+            bvh, slots, 0
+        )
+        tracer.num_nodes = int(tracer.node_arrays[0].shape[0])
+        tracer.interpret = True
+        return tracer
+
     rng = np.random.default_rng(0)
     n = 256
     o = rng.normal(size=(n, 3)).astype(np.float32)
     o = o / np.linalg.norm(o, axis=1, keepdims=True) * 3.0
     d = -o + rng.normal(size=(n, 3)).astype(np.float32) * 0.5
     rays = ray_mod.make_rays(jnp.asarray(o), jnp.asarray(d))
-    t_nat, _ = tracer.trace(rays)
+    t_nat, _ = make(nat).trace(rays)
 
     py = bvh_mod.build_bvh(lo, hi, max_leaf=8, use_native=False)
-    tracer2 = mesh_pallas.MeshBVHTracer.__new__(mesh_pallas.MeshBVHTracer)
-    tracer2.block_rows = mesh_pallas.BLOCK_ROWS
-    tracer2.bvh = py
-    tracer2.node_arrays, tracer2.leaf_rows = mesh_pallas.pack_mesh(
-        py, p0, p1, p2, 0
-    )
-    tracer2.num_nodes = int(tracer2.node_arrays[0].shape[0])
-    tracer2.interpret = True
-    t_py, _ = tracer2.trace(rays)
+    t_py, _ = make(py).trace(rays)
     t_nat, t_py = np.asarray(t_nat), np.asarray(t_py)
     both_inf = np.isinf(t_nat) & np.isinf(t_py)
     assert np.mean(both_inf | np.isclose(t_nat, t_py, rtol=1e-4)) > 0.999
