@@ -139,7 +139,17 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
     else:
         raise ValueError(f"unknown integrator {integrator!r}")
 
-    jitted = jax.jit(lambda sc, pix, s: kernel(sc, sampler, pix, s))
+    def _step(sc, pix, s_base, batch):
+        if batch > 1:
+            lanes = jnp.tile(pix, batch)
+            sid = jnp.repeat(
+                s_base + jnp.arange(batch), pix.shape[0]
+            ).astype(jnp.int32)
+            rad = kernel(sc, sampler, lanes, sid)
+            return rad.reshape(batch, pix.shape[0], 3).sum(axis=0)
+        return kernel(sc, sampler, pix, s_base)
+
+    jitted = jax.jit(_step, static_argnames=("batch",))
 
     stats = RenderStats(spp=spp_total)
     pixel_all = np.arange(pad_n, dtype=np.int32) % n  # pad wraps, cheap
@@ -148,21 +158,27 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
     samples_per_launch = max(1, min(spp_total, chunk // max(n, 1)))
     t0 = time.time()
     s = film.samples_done
+    # Per-chunk device-resident film accumulators: radiance stays on-device
+    # until checkpoint/finish (host transfers dominate otherwise).
+    dev_accum = [None] * n_chunks
+
+    def flush_device_film():
+        for c, acc in enumerate(dev_accum):
+            if acc is None:
+                continue
+            lo, hi = c * chunk, min((c + 1) * chunk, n)
+            film.accum[lo:hi] += np.asarray(acc)[: hi - lo]
+            dev_accum[c] = None
+
+    pix_dev = [
+        jnp.asarray(pixel_all[c * chunk:(c + 1) * chunk])
+        for c in range(n_chunks)
+    ]
     while s < spp_total:
         batch = min(samples_per_launch, spp_total - s)
         for c in range(n_chunks):
-            pix = jnp.asarray(pixel_all[c * chunk:(c + 1) * chunk])
-            if batch > 1:
-                lanes = jnp.tile(pix, batch)
-                sid = jnp.repeat(s + jnp.arange(batch), pix.shape[0]).astype(
-                    jnp.int32
-                )
-                rad = np.asarray(jitted(scene, lanes, sid))
-                rad = rad.reshape(batch, pix.shape[0], 3).sum(axis=0)
-            else:
-                rad = np.asarray(jitted(scene, pix, s))
-            lo, hi = c * chunk, min((c + 1) * chunk, n)
-            film.accum[lo:hi] += rad[: hi - lo]
+            rad = jitted(scene, pix_dev[c], s, batch=batch)
+            dev_accum[c] = rad if dev_accum[c] is None else dev_accum[c] + rad
             stats.launches += 1
         s += batch
         film.samples_done = s
@@ -172,7 +188,9 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
         if checkpoint_path and checkpoint_every and (
             s % checkpoint_every < batch
         ):
+            flush_device_film()
             film.save(checkpoint_path)
+    flush_device_film()
     stats.wall_time = time.time() - t0
     # Ray accounting: per camera ray per bounce: 1 closest-hit + up to 2
     # shadow batches when NEE is on.
