@@ -713,7 +713,10 @@ class FusedDiffuseIntegrator:
         for bounce in range(max_depth):
             out = _bounce_call(
                 self.params, self.mats, self.lights,
-                jnp.asarray([int(sampler.seed), bounce], jnp.int32),
+                jnp.stack([
+                    jnp.asarray(sampler.seed).astype(jnp.int32),
+                    jnp.asarray(bounce, jnp.int32),
+                ]),
                 jnp.asarray(self.env_colors),
                 ox, oy, oz, dx, dy, dz,
                 beta[0], beta[1], beta[2], alive, pix, samp,
