@@ -92,12 +92,16 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
     isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene, use_pallas)
 
     use_fused = False
+    use_fused_sl = False
     if integrator == "path" and use_nee and pixel_filter is None and (
         use_pallas or (use_pallas is None and jax.default_backend() != "cpu")
     ):
         from .accel import fused_kernel as fk
+        from .accel import fused_single_lobe as fsl
 
         use_fused = fk.scene_supports_fused(scene)
+        if not use_fused:
+            use_fused_sl = fsl.scene_supports_single_lobe(scene)
 
     filter_inv = None
     if pixel_filter is not None:
@@ -109,10 +113,15 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
                  "sinc": flt.LANCZOS, "lanczos": flt.LANCZOS}
         filter_inv = flt.make_filter_cdf(kinds[kind], float(radius))
 
-    if integrator == "path" and use_fused:
-        from .accel import fused_kernel as fk
+    if integrator == "path" and (use_fused or use_fused_sl):
+        if use_fused:
+            from .accel import fused_kernel as fk
 
-        fused = fk.FusedDiffuseIntegrator(scene)
+            fused = fk.FusedDiffuseIntegrator(scene)
+        else:
+            from .accel import fused_single_lobe as fsl
+
+            fused = fsl.FusedSingleLobeIntegrator(scene)
 
         def kernel(scene_, sampler_, pix, s, **_kw):
             return fused.render_samples(sampler_, pix, s,
