@@ -55,9 +55,14 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
 
     if integrator == "path":
         from pbrs_tpu.accel import fused_kernel as fk
+        from pbrs_tpu.accel import fused_single_lobe as fsl
 
+        integ = None
         if fk.scene_supports_fused(scene):
             integ = fk.FusedDiffuseIntegrator(scene)
+        elif fsl.scene_supports_single_lobe(scene):
+            integ = fsl.FusedSingleLobeIntegrator(scene)
+        if integ is not None:
 
             def step(base):
                 rad, cnt = integ.render_samples(
@@ -155,6 +160,14 @@ def main():
     print(json.dumps(results[-1]), file=sys.stderr, flush=True)
     results.append(run_config(
         "everything_3400prims_800", presets.everything(), (800, 800), 4, 5,
+    ))
+    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+    results.append(run_config(
+        "env_mapped_specular_1280x800", presets.env_mapped(), (1280, 800), 4, 5,
+    ))
+    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+    results.append(run_config(
+        "mixed_spheres_485_800", presets.mixed_spheres(), (800, 800), 4, 5,
     ))
     print(json.dumps(results[-1]), file=sys.stderr, flush=True)
 

@@ -58,10 +58,18 @@ def scene_supports_fused(scene) -> bool:
         return False
     if scene.materials.kind.shape[0] > 64:
         return False
-    # Mesh BVH scenes use the general path.
-    from . import trace_pallas as tp
-
-    if np.asarray(scene.geom.tri_p0).shape[0] > tp.BVH_THRESHOLD:
+    # This kernel's detail pass covers spheres + quads only: any REAL
+    # triangle or disk (non-degenerate; padding dummies never hit) routes
+    # to the single-lobe kernel (which has tri/disk detail) or the general
+    # path.
+    geom = scene.geom
+    tri_n = np.cross(
+        np.asarray(geom.tri_p0) - np.asarray(geom.tri_p1),
+        np.asarray(geom.tri_p2) - np.asarray(geom.tri_p1),
+    )
+    if (np.linalg.norm(tri_n, axis=-1) > 0).any():
+        return False
+    if (np.linalg.norm(np.asarray(geom.disk_radial), axis=-1) > 0).any():
         return False
     return True
 

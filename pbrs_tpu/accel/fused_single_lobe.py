@@ -65,14 +65,12 @@ def scene_supports_single_lobe(scene) -> bool:
     if mf_rows.any() and not np.allclose(alpha[mf_rows, 0],
                                          alpha[mf_rows, 1]):
         return False  # anisotropic microfacet -> general path
-    if scene.area_lights.count > 0:
-        akinds = set(np.asarray(scene.area_lights.shape_kind)[
-            : scene.area_lights.count].tolist())
-        if akinds - {ss.QUAD}:
-            return False
     if scene.env.kind == lt.ENV_IMAGE:
         return False
-    if mt.kind.shape[0] > 64 or scene.delta_lights.count > 16:
+    # The masked material-fetch loop is O(M), but even at M=485
+    # (mixed_spheres) the fused kernel is 2.6x the general sphere-BVH path
+    # (154 vs 394 ms/sample on v5e); the SMEM bank is 512*18*4 = 36 KB.
+    if mt.kind.shape[0] > 512 or scene.delta_lights.count > 16:
         return False
     geom = scene.geom
     counts = (
@@ -393,7 +391,7 @@ def _sample_lobe(mat, wolx, woly, wolz, su0, su1, eval_pdf, has):
 
 def _bounce2_kernel(
     *refs,
-    counts, n_mats, n_area, n_delta, env_kind, present_kinds,
+    counts, n_mats, n_area, n_delta, env_kind, present_kinds, light_shapes,
     bounce_is_first, rr_active,
 ):
     cols = refs[:16]
@@ -773,31 +771,287 @@ def _bounce2_kernel(
             def light_body(a, carry):
                 out = list(carry)
                 sel = a_idx == a
-                for j in range(12):
+                for j in range(14):
                     out[j] = jnp.where(sel, lights_ref[a, j], out[j])
                 return tuple(out)
 
-            (lqx, lqy, lqz, lux, luy, luz, lvx, lvy, lvz, ler, leg,
-             leb) = jax.lax.fori_loop(0, n_area, light_body, (zeros,) * 12)
-            lnx = luy * lvz - luz * lvy
-            lny = luz * lvx - lux * lvz
-            lnz = lux * lvy - luy * lvx
-            ln2 = jnp.maximum(lnx * lnx + lny * lny + lnz * lnz, 1e-30)
-            area = jnp.sqrt(ln2)
-            ilq = jax.lax.rsqrt(ln2)
-            lnxu, lnyu, lnzu = lnx * ilq, lny * ilq, lnz * ilq
-            ptx = lqx + u_l0 * lux + u_l1 * lvx
-            pty = lqy + u_l0 * luy + u_l1 * lvy
-            ptz = lqz + u_l0 * luz + u_l1 * lvz
+            (lkf, l0x, l0y, l0z, l1x, l1y, l1z, l2x, l2y, l2z, lsc,
+             ler, leg, leb) = jax.lax.fori_loop(
+                0, n_area, light_body, (zeros,) * 14)
+            lkind = lkf.astype(jnp.int32)
+            lhas = lambda k: k in light_shapes
+
+            # shape area [ref: light/src/sample_shape.rs:252-308]
+            c12x = l1y * l2z - l1z * l2y
+            c12y = l1z * l2x - l1x * l2z
+            c12z = l1x * l2y - l1y * l2x
+            ln2 = jnp.maximum(c12x * c12x + c12y * c12y + c12z * c12z, 1e-30)
+            area = jnp.ones_like(rox)
+            if lhas(ss.QUAD):
+                area = jnp.where(lkind == ss.QUAD, jnp.sqrt(ln2), area)
+            if lhas(ss.SPHERE):
+                area = jnp.where(lkind == ss.SPHERE,
+                                 4.0 * jnp.pi * lsc * lsc, area)
+            if lhas(ss.DISK):
+                area = jnp.where(
+                    lkind == ss.DISK,
+                    jnp.pi * (l2x * l2x + l2y * l2y + l2z * l2z), area)
+            # triangle geometric normal (p0-p1) x (p2-p1)
+            tax, tay, taz = l0x - l1x, l0y - l1y, l0z - l1z
+            tbx, tby, tbz = l2x - l1x, l2y - l1y, l2z - l1z
+            tnx = tay * tbz - taz * tby
+            tny = taz * tbx - tax * tbz
+            tnz = tax * tby - tay * tbx
+            tn2 = jnp.maximum(tnx * tnx + tny * tny + tnz * tnz, 1e-30)
+            if lhas(ss.TRIANGLE):
+                area = jnp.where(lkind == ss.TRIANGLE,
+                                 0.5 * jnp.sqrt(tn2), area)
+
+            # ---- sample a point + (raw) light normal per shape ----
+            # [ref: light/src/sample_shape.rs:184-309]
+            ptx = jnp.zeros_like(rox)
+            pty = jnp.zeros_like(rox)
+            ptz = jnp.zeros_like(rox)
+            lnx = jnp.zeros_like(rox)
+            lny = jnp.zeros_like(rox)
+            lnz = jnp.ones_like(rox)
+            if lhas(ss.QUAD):
+                sel = lkind == ss.QUAD
+                ilq = jax.lax.rsqrt(ln2)
+                ptx = jnp.where(sel, l0x + u_l0 * l1x + u_l1 * l2x, ptx)
+                pty = jnp.where(sel, l0y + u_l0 * l1y + u_l1 * l2y, pty)
+                ptz = jnp.where(sel, l0z + u_l0 * l1z + u_l1 * l2z, ptz)
+                lnx = jnp.where(sel, c12x * ilq, lnx)
+                lny = jnp.where(sel, c12y * ilq, lny)
+                lnz = jnp.where(sel, c12z * ilq, lnz)
+            if lhas(ss.TRIANGLE):
+                sel = lkind == ss.TRIANGLE
+                over = (u_l0 + u_l1) > 1.0
+                tu = jnp.where(over, 1.0 - u_l1, u_l0)
+                tv = jnp.where(over, 1.0 - u_l0, u_l1)
+                itq = jax.lax.rsqrt(tn2)
+                ptx = jnp.where(sel, l0x + tu * (l1x - l0x)
+                                + tv * (l2x - l0x), ptx)
+                pty = jnp.where(sel, l0y + tu * (l1y - l0y)
+                                + tv * (l2y - l0y), pty)
+                ptz = jnp.where(sel, l0z + tu * (l1z - l0z)
+                                + tv * (l2z - l0z), ptz)
+                lnx = jnp.where(sel, tnx * itq, lnx)
+                lny = jnp.where(sel, tny * itq, lny)
+                lnz = jnp.where(sel, tnz * itq, lnz)
+            if lhas(ss.DISK):
+                # concentric disk in the (radial, normal x radial) frame;
+                # light normal = raw p1 (mirrors sample_towards).
+                sel = lkind == ss.DISK
+                dxx = u_l0 * 2.0 - 1.0
+                dyy = u_l1 * 2.0 - 1.0
+                rr_ = jnp.maximum(jnp.abs(dxx), jnp.abs(dyy))
+                hyp = jnp.maximum(jnp.sqrt(dxx * dxx + dyy * dyy), 1e-20)
+                degen = (dxx == 0.0) & (dyy == 0.0)
+                cdx = jnp.where(degen, 0.0, rr_ * dxx / hyp)
+                cdy = jnp.where(degen, 0.0, rr_ * dyy / hyp)
+                ptx = jnp.where(sel, l0x + cdx * l2x + cdy * c12x, ptx)
+                pty = jnp.where(sel, l0y + cdx * l2y + cdy * c12y, pty)
+                ptz = jnp.where(sel, l0z + cdx * l2z + cdy * c12z, ptz)
+                lnx = jnp.where(sel, l1x, lnx)
+                lny = jnp.where(sel, l1y, lny)
+                lnz = jnp.where(sel, l1z, lnz)
+            if lhas(ss.SPHERE):
+                # cone sampling from outside, uniform from inside
+                # [ref: sample_shape.rs:184-236]
+                sel = lkind == ss.SPHERE
+                wcx, wcy, wcz = l0x - px, l0y - py, l0z - pz
+                dc2 = wcx * wcx + wcy * wcy + wcz * wcz
+                r2l = lsc * lsc
+                inside_s = dc2 < r2l
+                # inside: uniform over the sphere
+                zc = 2.0 * u_l1 - 1.0
+                szc = jnp.sqrt(jnp.maximum(1.0 - zc * zc, 0.0))
+                th = 2.0 * jnp.pi * u_l0
+                iux = szc * jnp.cos(th)
+                iuy = szc * jnp.sin(th)
+                iuz = zc
+                # outside: uniform cone towards the sphere
+                sin2_tm = r2l / jnp.maximum(dc2, 1e-30)
+                cos_tm = jnp.sqrt(jnp.maximum(1.0 - sin2_tm, 0.0))
+                cos_tc = (1.0 - u_l0) + u_l0 * cos_tm
+                sin2_tc = jnp.maximum(1.0 - cos_tc * cos_tc, 0.0)
+                phi_c = u_l1 * 2.0 * jnp.pi
+                dcl = jnp.sqrt(jnp.maximum(dc2, 1e-30))
+                ds_ = dcl * cos_tc - jnp.sqrt(jnp.maximum(
+                    r2l - dc2 * sin2_tc, 0.0))
+                cos_al = (dc2 + r2l - ds_ * ds_) / jnp.maximum(
+                    2.0 * dcl * lsc, 1e-30)
+                sin_al = jnp.sqrt(jnp.maximum(1.0 - cos_al * cos_al, 0.0))
+                # frame around unit -wc (sphere center -> shading point),
+                # Duff ONB matching vm.make_coord_system
+                idc = jax.lax.rsqrt(jnp.maximum(dc2, 1e-30))
+                ttx, tty, ttz = -wcx * idc, -wcy * idc, -wcz * idc
+                sgn_ = jnp.where(ttz >= 0.0, 1.0, -1.0)
+                aD_ = -1.0 / (sgn_ + ttz)
+                bD_ = ttx * tty * aD_
+                b1x = 1.0 + sgn_ * ttx * ttx * aD_
+                b1y = sgn_ * bD_
+                b1z = -sgn_ * ttx
+                b2x = bD_
+                b2y = sgn_ + tty * tty * aD_
+                b2z = -tty
+                nax = sin_al * jnp.cos(phi_c)
+                nay = sin_al * jnp.sin(phi_c)
+                onx = nax * b1x + nay * b2x + cos_al * ttx
+                ony = nax * b1y + nay * b2y + cos_al * tty
+                onz = nax * b1z + nay * b2z + cos_al * ttz
+                nsx = jnp.where(inside_s, iux, onx)
+                nsy = jnp.where(inside_s, iuy, ony)
+                nsz = jnp.where(inside_s, iuz, onz)
+                ptx = jnp.where(sel, l0x + nsx * lsc, ptx)
+                pty = jnp.where(sel, l0y + nsy * lsc, pty)
+                ptz = jnp.where(sel, l0z + nsz * lsc, ptz)
+                lnx = jnp.where(sel, nsx, lnx)
+                lny = jnp.where(sel, nsy, lny)
+                lnz = jnp.where(sel, nsz, lnz)
+
+            # ---- shared per-shape query along a unit direction from the
+            # hit point: (hit?, t, solid-angle pdf) — mirrors pdf_at +
+            # intersect_shape exactly (the pdf is ZERO when the
+            # re-intersection misses, even for sampled points).
+            # [ref: light/src/sample_shape.rs:28-69, 238-250]
+            def light_shape_query(wx_, wy_, wz_):
+                # hit mask carried as i32 (Mosaic can't truncate the i8
+                # select form of bool vectors back to i1)
+                okq = jnp.zeros(rox.shape, jnp.int32)
+                tq = jnp.zeros_like(rox)
+                cosq = jnp.ones_like(rox)
+
+                def plane_hit(nx_, ny_, nz_):
+                    den = wx_ * nx_ + wy_ * ny_ + wz_ * nz_
+                    den_s = jnp.where(den == 0.0, 1.0, den)
+                    tt = ((l0x - px) * nx_ + (l0y - py) * ny_
+                          + (l0z - pz) * nz_) / den_s
+                    return den, tt
+
+                if lhas(ss.QUAD):
+                    sel = lkind == ss.QUAD
+                    ilq = jax.lax.rsqrt(ln2)
+                    den, tt = plane_hit(c12x * ilq, c12y * ilq, c12z * ilq)
+                    hxq = px + tt * wx_ - l0x
+                    hyq = py + tt * wy_ - l0y
+                    hzq = pz + tt * wz_ - l0z
+                    cqx = hyq * l2z - hzq * l2y
+                    cqy = hzq * l2x - hxq * l2z
+                    cqz = hxq * l2y - hyq * l2x
+                    uu = (cqx * c12x + cqy * c12y + cqz * c12z) / ln2
+                    cqx = l1y * hzq - l1z * hyq
+                    cqy = l1z * hxq - l1x * hzq
+                    cqz = l1x * hyq - l1y * hxq
+                    vv = (cqx * c12x + cqy * c12y + cqz * c12z) / ln2
+                    ok_ = (
+                        (den != 0.0) & (tt >= T_MIN)
+                        & (uu >= 0.0) & (uu <= 1.0)
+                        & (vv >= 0.0) & (vv <= 1.0)
+                    )
+                    okq = jnp.where(sel, ok_.astype(jnp.int32), okq)
+                    tq = jnp.where(sel, tt, tq)
+                    cosq = jnp.where(sel, jnp.abs(den), cosq)
+                if lhas(ss.TRIANGLE):
+                    sel = lkind == ss.TRIANGLE
+                    itq = jax.lax.rsqrt(tn2)
+                    unx, uny, unz = tnx * itq, tny * itq, tnz * itq
+                    den, tt = plane_hit(unx, uny, unz)
+                    hx_ = px + tt * wx_
+                    hy_ = py + tt * wy_
+                    hz_ = pz + tt * wz_
+
+                    def tedge(ax, ay, az, bx_, by_, bz_):
+                        ex, ey, ez = hx_ - ax, hy_ - ay, hz_ - az
+                        gx, gy, gz = hx_ - bx_, hy_ - by_, hz_ - bz_
+                        return (
+                            (ey * gz - ez * gy) * unx
+                            + (ez * gx - ex * gz) * uny
+                            + (ex * gy - ey * gx) * unz
+                        )
+
+                    tb2 = tedge(l0x, l0y, l0z, l1x, l1y, l1z)
+                    tb0 = tedge(l1x, l1y, l1z, l2x, l2y, l2z)
+                    tb1 = tedge(l2x, l2y, l2z, l0x, l0y, l0z)
+                    ins = ((tb0 > 0) & (tb1 > 0) & (tb2 > 0)) | (
+                        (tb0 < 0) & (tb1 < 0) & (tb2 < 0))
+                    ok_ = (den != 0.0) & (tt >= T_MIN) & ins
+                    okq = jnp.where(sel, ok_.astype(jnp.int32), okq)
+                    tq = jnp.where(sel, tt, tq)
+                    cosq = jnp.where(sel, jnp.abs(den), cosq)
+                if lhas(ss.DISK):
+                    # raw normal p1, radius^2 = |p2|^2 (mirrors
+                    # _aligned_disk_hit + pdf_at's raw-normal cosine)
+                    sel = lkind == ss.DISK
+                    den, tt = plane_hit(l1x, l1y, l1z)
+                    hx_ = px + tt * wx_ - l0x
+                    hy_ = py + tt * wy_ - l0y
+                    hz_ = pz + tt * wz_ - l0z
+                    r2d = l2x * l2x + l2y * l2y + l2z * l2z
+                    ins = hx_ * hx_ + hy_ * hy_ + hz_ * hz_ <= r2d
+                    ok_ = (den != 0.0) & (tt >= T_MIN) & ins
+                    okq = jnp.where(sel, ok_.astype(jnp.int32), okq)
+                    tq = jnp.where(sel, tt, tq)
+                    cosq = jnp.where(sel, jnp.abs(den), cosq)
+                pdfq = jnp.where(
+                    okq > 0, (tq * tq) / jnp.maximum(cosq * area, 1e-30),
+                    0.0)
+                if lhas(ss.SPHERE):
+                    # any-root hit; cone/uniform pdf (no hit dependence)
+                    sel = lkind == ss.SPHERE
+                    fx_s = px - l0x
+                    fy_s = py - l0y
+                    fz_s = pz - l0z
+                    a_s = wx_ * wx_ + wy_ * wy_ + wz_ * wz_
+                    bp = -(fx_s * wx_ + fy_s * wy_ + fz_s * wz_)
+                    inv_a = 1.0 / jnp.maximum(a_s, 1e-30)
+                    mx_ = fx_s + bp * inv_a * wx_
+                    my_ = fy_s + bp * inv_a * wy_
+                    mz_ = fz_s + bp * inv_a * wz_
+                    r2l = lsc * lsc
+                    dlt = r2l - (mx_ * mx_ + my_ * my_ + mz_ * mz_)
+                    c_s = fx_s * fx_s + fy_s * fy_s + fz_s * fz_s - r2l
+                    q_s = bp + jnp.where(bp >= 0.0, 1.0, -1.0) * jnp.sqrt(
+                        jnp.maximum(dlt * a_s, 0.0))
+                    q_sf = jnp.where(q_s == 0.0, 1.0, q_s)
+                    t0_ = c_s / q_sf
+                    t1_ = q_s * inv_a
+                    tlo = jnp.minimum(t0_, t1_)
+                    thi = jnp.maximum(t0_, t1_)
+                    ok_lo = tlo >= T_MIN
+                    ts = jnp.where(ok_lo, tlo, thi)
+                    ok_ = (dlt >= 0.0) & (q_s != 0.0) & (
+                        ok_lo | (thi >= T_MIN))
+                    okq = jnp.where(sel, ok_.astype(jnp.int32), okq)
+                    tq = jnp.where(sel, ts, tq)
+                    wcx_ = l0x - px
+                    wcy_ = l0y - py
+                    wcz_ = l0z - pz
+                    dc2_ = wcx_ * wcx_ + wcy_ * wcy_ + wcz_ * wcz_
+                    ins_s = dc2_ < r2l
+                    s2tm = r2l / jnp.maximum(dc2_, 1e-30)
+                    ctm = jnp.sqrt(jnp.maximum(1.0 - s2tm, 0.0))
+                    idc_ = jax.lax.rsqrt(jnp.maximum(dc2_, 1e-30))
+                    cone = 1.0 / jnp.maximum(
+                        2.0 * jnp.pi * (1.0 - ctm), 1e-30)
+                    cdir = (wcx_ * wx_ + wcy_ * wy_ + wcz_ * wz_) * idc_
+                    pdf_sph = jnp.where(
+                        ins_s, 1.0 / jnp.maximum(area, 1e-30),
+                        jnp.where(cdir > ctm, cone, 0.0),
+                    )
+                    pdfq = jnp.where(sel, pdf_sph, pdfq)
+                return okq > 0, tq, pdfq
+
             tlx, tly, tlz = ptx - px, pty - py, ptz - pz
             d2a = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
             ia = jax.lax.rsqrt(d2a)
             awx, awy, awz = tlx * ia, tly * ia, tlz * ia
-            cos_la = -(lnxu * awx + lnyu * awy + lnzu * awz)
-            pdfa = d2a / jnp.maximum(jnp.abs(cos_la) * area, 1e-20)
             # one-sided emission on the sampled arm
             # [ref: light/src/lib.rs:127-133]
+            cos_la = -(lnx * awx + lny * awy + lnz * awz)
             facing = cos_la > 0.0
+            _, _, pdfa = light_shape_query(awx, awy, awz)
             li_r = jnp.where(arm_area, jnp.where(facing, ler, 0.0), li_r)
             li_g = jnp.where(arm_area, jnp.where(facing, leg, 0.0), li_g)
             li_b = jnp.where(arm_area, jnp.where(facing, leb, 0.0), li_b)
@@ -857,30 +1111,9 @@ def _bounce2_kernel(
             f2b = sf_b * cos2a
 
             if n_area > 0:
-                # intersect the chosen quad from the (pre-offset) hit point
-                # [ref: light/src/lib.rs:141-152 + lights.area_radiance_to]
-                denom = w2x * lnxu + w2y * lnyu + w2z * lnzu
-                denom_s = jnp.where(denom == 0.0, 1.0, denom)
-                t_hit = ((lqx - px) * lnxu + (lqy - py) * lnyu
-                         + (lqz - pz) * lnzu) / denom_s
-                hxq = px + t_hit * w2x - lqx
-                hyq = py + t_hit * w2y - lqy
-                hzq = pz + t_hit * w2z - lqz
-                cqx = hyq * lvz - hzq * lvy
-                cqy = hzq * lvx - hxq * lvz
-                cqz = hxq * lvy - hyq * lvx
-                uu = (cqx * lnx + cqy * lny + cqz * lnz) / ln2
-                cqx = luy * hzq - luz * hyq
-                cqy = luz * hxq - lux * hzq
-                cqz = lux * hyq - luy * hxq
-                vv = (cqx * lnx + cqy * lny + cqz * lnz) / ln2
-                hit_l = (
-                    (denom != 0.0) & (t_hit >= T_MIN)
-                    & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0) & (vv <= 1.0)
-                )
-                pdf_l2 = (t_hit * t_hit) / jnp.maximum(
-                    jnp.abs(denom) * area, 1e-20
-                )
+                # intersect the chosen light shape from the (pre-offset) hit
+                # point [ref: light/src/lib.rs:141-152 + area_radiance_to]
+                hit_l, t_hit, pdf_l2 = light_shape_query(w2x, w2y, w2z)
             else:
                 hit_l = jnp.zeros_like(alive)
                 t_hit = jnp.zeros_like(rox)
@@ -981,13 +1214,13 @@ def _bounce2_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("counts", "n_mats", "n_area", "n_delta", "env_kind",
-                     "present_kinds", "bounce_is_first", "rr_active",
-                     "interpret"),
+                     "present_kinds", "light_shapes", "bounce_is_first",
+                     "rr_active", "interpret"),
 )
 def _bounce2_call(params, mats, lights, delta, ints, scal,
                   ox, oy, oz, dx, dy, dz, br, bg, bb, alive, spec, pix, samp,
                   counts, n_mats, n_area, n_delta, env_kind, present_kinds,
-                  bounce_is_first, rr_active, interpret):
+                  light_shapes, bounce_is_first, rr_active, interpret):
     rows = ox.shape[0]
     grid = (rows // BLOCK_ROWS,)
     blk = lambda: pl.BlockSpec(
@@ -997,7 +1230,8 @@ def _bounce2_call(params, mats, lights, delta, ints, scal,
     kernel = functools.partial(
         _bounce2_kernel, counts=counts, n_mats=n_mats, n_area=n_area,
         n_delta=n_delta, env_kind=env_kind, present_kinds=present_kinds,
-        bounce_is_first=bounce_is_first, rr_active=rr_active,
+        light_shapes=light_shapes, bounce_is_first=bounce_is_first,
+        rr_active=rr_active,
     )
     shp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     ishp = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -1056,12 +1290,18 @@ class FusedSingleLobeIntegrator:
         al = scene.area_lights
         self.n_area = al.count
         if self.n_area:
+            a = self.n_area
+            # [A, 14]: kind, p0, p1, p2, scalar, emit
             self.lights = jnp.concatenate([
-                al.p0[: self.n_area], al.p1[: self.n_area],
-                al.p2[: self.n_area], al.emit[: self.n_area],
+                al.shape_kind[:a, None].astype(jnp.float32),
+                al.p0[:a], al.p1[:a], al.p2[:a],
+                al.scalar[:a, None], al.emit[:a],
             ], axis=1)
+            self.light_shapes = tuple(sorted(set(
+                np.asarray(al.shape_kind)[:a].tolist())))
         else:
-            self.lights = jnp.zeros((1, 12), jnp.float32)
+            self.lights = jnp.zeros((1, 14), jnp.float32)
+            self.light_shapes = ()
 
         dl = scene.delta_lights
         self.n_delta = dl.count
@@ -1128,6 +1368,7 @@ class FusedSingleLobeIntegrator:
                 n_area=self.n_area, n_delta=self.n_delta,
                 env_kind=self.env_kind,
                 present_kinds=self.present_kinds,
+                light_shapes=self.light_shapes,
                 bounce_is_first=(bounce == 0),
                 rr_active=(bounce > rr_start),
                 interpret=self.interpret,

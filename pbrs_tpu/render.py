@@ -183,22 +183,55 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
         jnp.asarray(pixel_all[c * chunk:(c + 1) * chunk])
         for c in range(n_chunks)
     ]
-    while s < spp_total:
-        batch = min(samples_per_launch, spp_total - s)
-        for c in range(n_chunks):
-            rad = jitted(scene, pix_dev[c], s, batch=batch)
-            dev_accum[c] = rad if dev_accum[c] is None else dev_accum[c] + rad
-            stats.launches += 1
-        s += batch
-        film.samples_done = s
-        stats.camera_rays += n * batch
-        if progress:
-            print(f"  sample {s}/{spp_total}", flush=True)
-        if checkpoint_path and checkpoint_every and (
-            s % checkpoint_every < batch
-        ):
+
+    # Failure handling: SIGTERM/SIGINT mid-render flushes completed samples
+    # to the checkpoint before exiting, so a preempted job resumes exactly
+    # where it stopped (the film is the full renderer state).
+    import signal
+
+    prev_term = None
+    stop = {"requested": False}
+
+    def _on_term(signum, frame):
+        stop["requested"] = True
+
+    if checkpoint_path:
+        try:
+            prev_term = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:
+            prev_term = None  # not the main thread
+
+    try:
+        while s < spp_total:
+            batch = min(samples_per_launch, spp_total - s)
+            # Stage the batch, then commit atomically: an interrupt mid-batch
+            # leaves (accum, samples_done) consistent.
+            staged = [jitted(scene, pix_dev[c], s, batch=batch)
+                      for c in range(n_chunks)]
+            for c, rad in enumerate(staged):
+                dev_accum[c] = (
+                    rad if dev_accum[c] is None else dev_accum[c] + rad
+                )
+                stats.launches += 1
+            s += batch
+            film.samples_done = s
+            stats.camera_rays += n * batch
+            if progress:
+                print(f"  sample {s}/{spp_total}", flush=True)
+            hit_interval = checkpoint_every and s % checkpoint_every < batch
+            if checkpoint_path and (hit_interval or stop["requested"]):
+                flush_device_film()
+                film.save(checkpoint_path)
+            if stop["requested"]:
+                raise KeyboardInterrupt  # preemption: film checkpointed
+    except KeyboardInterrupt:
+        if checkpoint_path:
             flush_device_film()
             film.save(checkpoint_path)
+        raise
+    finally:
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)
     flush_device_film()
     stats.wall_time = time.time() - t0
     # Ray accounting: per camera ray per bounce: 1 closest-hit + up to 2

@@ -60,10 +60,9 @@ def test_eligibility():
     assert fsl.scene_supports_single_lobe(_zoo_scene())
     assert fsl.scene_supports_single_lobe(presets.cornell_box())
     assert fsl.scene_supports_single_lobe(presets.env_mapped())  # dusk env
-    # 485 materials: the masked material-fetch loop is O(M) -> general path
-    assert not fsl.scene_supports_single_lobe(presets.mixed_spheres())
-    # sphere area lights -> general path
-    assert not fsl.scene_supports_single_lobe(presets.plates())
+    assert fsl.scene_supports_single_lobe(presets.plates())  # sphere lights
+    # 485 spheres / 485 materials: flat loops still beat the BVH path
+    assert fsl.scene_supports_single_lobe(presets.mixed_spheres())
     # textures -> general path
     assert not fsl.scene_supports_single_lobe(presets.two_perlin_spheres())
     # multi-lobe (glass mesh + BVH-scale tris) -> general path
@@ -86,6 +85,42 @@ def _compare(scene, pix_n=24, depth=5, samples=(0, 3), atol=3e-5):
 
 def test_zoo_matches_general_path():
     _compare(_zoo_scene())
+
+
+def _shaped_lights_scene():
+    """Sphere + disk + triangle area lights over glossy/lambert geometry —
+    exercises the per-shape NEE arms (cone sampling, concentric disk,
+    triangle fold) in the kernel."""
+    b = SceneBuilder()
+    g = b.geometry
+    floor = b.materials.add_lambertian((0.55, 0.55, 0.6))
+    g.add_quad((-12, 0, -12), (24, 0, 0), (0, 0, 24), floor)
+    g.add_sphere((-2, 1, 0), 1.0, b.materials.add_glossy((0.85, 0.8, 0.7),
+                                                         0.03))
+    g.add_sphere((2, 1, 0), 1.0, b.materials.add_lambertian((0.3, 0.5, 0.7)))
+
+    c1 = (8.0, 7.0, 6.0)
+    m1 = b.materials.add_diffuse_light(c1)
+    g.add_sphere((-4, 5, -3), 0.8, m1)
+    b.lights.add_area_sphere(c1, (-4, 5, -3), 0.8)
+    c2 = (5.0, 6.0, 8.0)
+    m2 = b.materials.add_diffuse_light(c2)
+    g.add_disk((4, 6, -2), (0, -1, 0.2), (1.5, 0, 0), m2)
+    b.lights.add_area_disk(c2, (4, 6, -2), (0, -1, 0.2), (1.5, 0, 0))
+    c3 = (7.0, 7.0, 5.0)
+    m3 = b.materials.add_diffuse_light(c3)
+    g.add_triangle((-1, 7, 2), (1, 7, 2), (0, 7, 4), m3)
+    b.lights.add_area_triangle(c3, (-1, 7, 2), (1, 7, 2), (0, 7, 4))
+
+    cam = cam_mod.make_camera((20, 20), 45.0)
+    b.camera = cam_mod.looking_at(cam, (0, 4, -12), (0, 1.5, 0), (0, 1, 0))
+    return b.build()
+
+
+def test_shaped_lights_match_general_path():
+    scene = _shaped_lights_scene()
+    assert fsl.scene_supports_single_lobe(scene)
+    _compare(scene, pix_n=20, depth=4)
 
 
 def test_cornell_matches_general_and_diffuse_kernel():

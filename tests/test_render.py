@@ -49,6 +49,41 @@ def test_film_checkpoint_resume(tiny_cornell, tmp_path):
     np.testing.assert_allclose(film3.mean_image(), img_full, atol=1e-6)
 
 
+def test_sigterm_checkpoints_film(tiny_cornell, tmp_path):
+    """Preemption mid-render flushes whole sample batches to the checkpoint
+    and raises; resuming from the checkpoint reproduces a straight render."""
+    import signal
+    import threading
+
+    ckpt = str(tmp_path / "film_preempt.npz")
+    img_full, _ = render_mod.render_image(tiny_cornell, spp=16, seed=5)
+
+    # chunk_pixels=256 keeps one sample per launch (16 launches), giving the
+    # signal many safe commit points.
+    fired = threading.Timer(0.05, os.kill, (os.getpid(), signal.SIGTERM))
+    fired.start()
+    film = render_mod.Film(width=16, height=16)
+    try:
+        render_mod.render_image(
+            tiny_cornell, spp=16, seed=5, film=film, chunk_pixels=256,
+            checkpoint_path=ckpt, checkpoint_every=0,
+        )
+        interrupted = False
+    except KeyboardInterrupt:
+        interrupted = True
+    finally:
+        fired.cancel()
+
+    saved = render_mod.Film.load(ckpt)
+    assert saved.samples_done >= 1
+    if interrupted:
+        assert saved.samples_done < 16
+    # Resume to 16 spp and compare against the uninterrupted render.
+    render_mod.render_image(tiny_cornell, spp=16, seed=5, film=saved,
+                            checkpoint_path=ckpt)
+    np.testing.assert_allclose(saved.mean_image(), img_full, atol=1e-5)
+
+
 def test_exr_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     img = rng.random((7, 13, 3)).astype(np.float32) * 20.0
