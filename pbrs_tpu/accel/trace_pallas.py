@@ -28,7 +28,13 @@ from . import mesh_pallas
 
 LANES = 128
 # Above this many triangles the table sweep hands them to the BVH kernel.
-BVH_THRESHOLD = 32
+# Per-family prim count above which the packet-BVH kernel takes over.
+# Measured on v5e ('everything', 3400 prims): the flat VPU sweep beats the
+# tile-uniform packet BVH ~3x on BOTH coherent and incoherent 1M-ray
+# batches (11.5 vs 3.7 Mrays/s) — a 4096-lane tile walks the union of its
+# rays' subtrees, which approaches the whole tree, while brute force is
+# pure VPU throughput. SMEM bank at 4096 prims = 16*4*4096 = 256 KB.
+BVH_THRESHOLD = 4096
 BLOCK_ROWS = 64  # 64 x 128 = 8192 rays per tile
 T_MIN = ray_mod.T_MIN
 BIG = 3.0e38
@@ -265,10 +271,12 @@ class PallasTracer:
     Triangles above BVH_THRESHOLD are handled by the packet-BVH kernel
     (accel/mesh_pallas.py); small tables go through the flat prim loop."""
 
-    def __init__(self, geom: GeometryTables, interpret: bool = False):
+    def __init__(self, geom: GeometryTables, interpret: bool = False,
+                 bvh_threshold: int | None = None):
         self.params, self.counts = prim_scalars(geom)
         self.geom = geom
         self.interpret = interpret
+        thresh = BVH_THRESHOLD if bvh_threshold is None else bvh_threshold
         n_sph, n_quad, n_tri, n_disk = self.counts
         base_sph = 0
         base_quad = n_sph
@@ -277,7 +285,7 @@ class PallasTracer:
         self.bvhs = []
         do = [True, True, True, True]
         mp = mesh_pallas
-        if n_sph > BVH_THRESHOLD:
+        if n_sph > thresh:
             c = np.asarray(geom.sph_center)
             r = np.asarray(geom.sph_radius)
             gid = (base_sph + np.arange(n_sph)).astype(np.float32)
@@ -288,7 +296,7 @@ class PallasTracer:
                 interpret=interpret,
             ))
             do[0] = False
-        if n_quad > BVH_THRESHOLD:
+        if n_quad > thresh:
             o = np.asarray(geom.quad_origin)
             u = np.asarray(geom.quad_u)
             v = np.asarray(geom.quad_v)
@@ -299,7 +307,7 @@ class PallasTracer:
                 corners.min(0), corners.max(0), interpret=interpret,
             ))
             do[1] = False
-        if n_tri > BVH_THRESHOLD:
+        if n_tri > thresh:
             p0 = np.asarray(geom.tri_p0)
             p1 = np.asarray(geom.tri_p1)
             p2 = np.asarray(geom.tri_p2)

@@ -1,14 +1,23 @@
 """Device-resident texture table.
 
 Textures are rows in a typed table (kind + params + a shared flat image
-atlas); evaluation gathers per-hit and mask-selects over kinds — replacing
-the reference's `Arc<dyn Texture>` virtual calls (reference texture/src/lib.rs).
+atlas); evaluation reads the whole parameter row in ONE packed one-hot
+lookup and mask-selects over kinds — replacing the reference's
+`Arc<dyn Texture>` virtual calls (reference texture/src/lib.rs).
 
 Kinds:
   SOLID    color_a                                  [ref: texture/src/lib.rs:19-33]
   CHECKER  3D sine checker, odd/even colors         [ref: lib.rs:35-49]
   PERLIN   marble pattern over gradient noise       [ref: lib.rs:51-160]
   IMAGE    nearest-neighbor clamp sampling, atlas   [ref: lib.rs:162-223]
+
+Perlin is gather-free: the reference's random permutation + gradient
+tables (lib.rs:60-96) are per-lane lattice GATHERS on TPU — 4 gathers x
+8 corners x 7 octaves = 224 per evaluation, which dominated whole frames.
+The lattice hash here is a murmur-style integer mix and the gradient is
+Perlin's classic 16-direction branchless set, all VPU arithmetic. Both
+schemes are randomized gradient lattices; the reference's exact pattern is
+RNG-seeded and not bit-reproducible anyway (COMPAT.md).
 """
 
 from __future__ import annotations
@@ -17,14 +26,12 @@ import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
-from ..core import vecmath as vm
+from ..core import gather as gth
 
 SOLID = 0
 CHECKER = 1
 PERLIN = 2
 IMAGE = 3
-
-_PERLIN_N = 256
 
 
 @struct.dataclass
@@ -37,53 +44,64 @@ class TextureTable:
     img_w: jnp.ndarray  # [T] int32
     img_h: jnp.ndarray  # [T] int32
     atlas: jnp.ndarray  # [P,3] flattened image pixels
-    perlin_grad: jnp.ndarray  # [256,3]
-    perlin_perm: jnp.ndarray  # [3,256] int32
+    packed: jnp.ndarray = None  # [T,C] all scalar fields, one-hot lookup
+    layout: tuple = struct.field(pytree_node=False, default=())
+
+    @property
+    def num_textures(self):
+        return self.kind.shape[0]
 
 
-def _perlin_tables(seed=12345):
-    rng = np.random.default_rng(seed)
-    # Uniform random unit vectors on the sphere.
-    v = rng.normal(size=(_PERLIN_N, 3))
-    v /= np.linalg.norm(v, axis=1, keepdims=True)
-    perms = np.stack([rng.permutation(_PERLIN_N) for _ in range(3)])
-    return v.astype(np.float32), perms.astype(np.int32)
+def _hash3(ix, iy, iz):
+    """Murmur-style integer mix of three lattice coordinates -> uint32."""
+    h = ix.astype(jnp.uint32) * jnp.uint32(0x8DA6B343)
+    h = h + iy.astype(jnp.uint32) * jnp.uint32(0xD8163841)
+    h = h + iz.astype(jnp.uint32) * jnp.uint32(0xCB1AB31F)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(16))
+    return h
 
 
-def _perlin_noise(table: TextureTable, p):
-    """Gradient lattice noise. [ref: texture/src/lib.rs:98-139]"""
-    pf = p
-    i0 = jnp.floor(pf).astype(jnp.int32)
-    frac = pf - jnp.floor(pf)
+def _grad_dot(h, x, y, z):
+    """Perlin's 16-direction gradient dot product, branchless (no table)."""
+    hi = (h & jnp.uint32(15)).astype(jnp.int32)
+    u = jnp.where(hi < 8, x, y)
+    v = jnp.where(hi < 4, y, jnp.where((hi == 12) | (hi == 14), x, z))
+    su = jnp.where((hi & 1) == 0, u, -u)
+    sv = jnp.where((hi & 2) == 0, v, -v)
+    return su + sv
+
+
+def _perlin_noise(p):
+    """Gradient lattice noise with trilinear smoothstep interpolation —
+    same structure as reference texture/src/lib.rs:98-139, gather-free
+    gradients (module docstring)."""
+    i0 = jnp.floor(p).astype(jnp.int32)
+    frac = p - jnp.floor(p)
     sm = frac * frac * (3.0 - 2.0 * frac)  # smoothstep weights [N,3]
     accum = jnp.zeros(p.shape[:-1], p.dtype)
-    perm = table.perlin_perm
-    grad = table.perlin_grad
     for di in (0, 1):
         for dj in (0, 1):
             for dk in (0, 1):
-                ii = (i0[..., 0] + di) & 255
-                jj = (i0[..., 1] + dj) & 255
-                kk = (i0[..., 2] + dk) & 255
-                idx = perm[0][ii] ^ perm[1][jj] ^ perm[2][kk]
-                g = grad[idx]
-                wv = jnp.stack(
-                    [frac[..., 0] - di, frac[..., 1] - dj, frac[..., 2] - dk],
-                    axis=-1,
+                h = _hash3(i0[..., 0] + di, i0[..., 1] + dj, i0[..., 2] + dk)
+                dotp = _grad_dot(
+                    h, frac[..., 0] - di, frac[..., 1] - dj, frac[..., 2] - dk
                 )
-                dotp = vm.dot(g, wv)
                 wu = sm[..., 0] * di + (1.0 - sm[..., 0]) * (1 - di)
                 wj = sm[..., 1] * dj + (1.0 - sm[..., 1]) * (1 - dj)
                 wk = sm[..., 2] * dk + (1.0 - sm[..., 2]) * (1 - dk)
                 accum = accum + wu * wj * wk * dotp
-    return accum
+    # 16-direction gradients have length sqrt(2); match the reference's
+    # unit-vector amplitude.
+    return accum * float(1.0 / np.sqrt(2.0))
 
 
-def _perlin_turbulence(table: TextureTable, p, octaves=7):
+def _perlin_turbulence(p, octaves=7):
     """[ref: texture/src/lib.rs:141-149]"""
     accum = jnp.zeros(p.shape[:-1], p.dtype)
     for i in range(octaves):
-        accum = accum + 0.5**i * _perlin_noise(table, p * (2.0**i))
+        accum = accum + 0.5**i * _perlin_noise(p * (2.0**i))
     return jnp.abs(accum)
 
 
@@ -91,9 +109,8 @@ def eval_texture(table: TextureTable, tex_id, uv, pos):
     """Evaluate textures for per-hit tex ids. tex_id [N], uv [N,2], pos [N,3].
     tex_id < 0 yields black (callers overlay solid colors themselves)."""
     tid = jnp.maximum(tex_id, 0)
-    kind = table.kind[tid]
-    ca = table.color_a[tid]
-    cb = table.color_b[tid]
+    rows = gth.lookup_rows(table.packed, tid, table.num_textures)
+    kind, ca, cb, freq, off, w, h = gth.unpack_fields(rows, table.layout)
 
     out = ca  # SOLID
 
@@ -107,33 +124,27 @@ def eval_texture(table: TextureTable, tex_id, uv, pos):
     out = jnp.where((kind == CHECKER)[..., None], checker, out)
 
     # PERLIN marble: sin(freq*z + 10*turbulence(p)) * .5 + .5.
-    # [ref: lib.rs:151-160]. Noise lattice is scaled by freq inside noise()
-    # in the reference; turbulence feeds unscaled p, noise applies freq.
-    # Reference noise() multiplies by freq internally and turbulance scales
-    # by 2^i; equivalent to evaluating noise at freq * 2^i * p.
-    freq = table.freq[tid]
-    turb = _perlin_turbulence_scaled(table, pos, freq)
+    # [ref: lib.rs:151-160]. Reference noise() scales the lattice by freq
+    # internally and turbulence scales by 2^i; equivalent to evaluating
+    # noise at freq * 2^i * p.
+    turb = _perlin_turbulence_scaled(pos, freq)
     marble = jnp.sin(freq * pos[..., 2] + 10.0 * turb) * 0.5 + 0.5
     out = jnp.where((kind == PERLIN)[..., None], marble[..., None], out)
 
     # IMAGE: nearest with uv clamp. [ref: lib.rs:205-216]
     u = jnp.clip(uv[..., 0], 0.0, 1.0)
     v = jnp.clip(uv[..., 1], 0.0, 1.0)
-    w = table.img_w[tid]
-    h = table.img_h[tid]
     col = jnp.mod((u * w).astype(jnp.int32), jnp.maximum(w, 1))
     row = jnp.mod((v * h).astype(jnp.int32), jnp.maximum(h, 1))
-    pix = table.atlas[table.img_offset[tid] + row * w + col]
+    pix = table.atlas[off + row * w + col]
     out = jnp.where((kind == IMAGE)[..., None], pix, out)
     return jnp.where((tex_id < 0)[..., None], 0.0, out)
 
 
-def _perlin_turbulence_scaled(table: TextureTable, p, freq, octaves=7):
+def _perlin_turbulence_scaled(p, freq, octaves=7):
     accum = jnp.zeros(p.shape[:-1], p.dtype)
     for i in range(octaves):
-        accum = accum + 0.5**i * _perlin_noise(
-            table, p * (freq * 2.0**i)[..., None]
-        )
+        accum = accum + 0.5**i * _perlin_noise(p * (freq * 2.0**i)[..., None])
     return jnp.abs(accum)
 
 
@@ -191,16 +202,25 @@ class TextureBuilder:
             if atlas_parts
             else np.zeros((1, 3), np.float32)
         )
-        grad, perm = _perlin_tables()
+        kind = np.asarray([r[0] for r in rows], np.int32)
+        color_a = np.stack([r[1] for r in rows]).astype(np.float32)
+        color_b = np.stack([r[2] for r in rows]).astype(np.float32)
+        freq = np.asarray([r[3] for r in rows], np.float32)
+        off = np.asarray(offsets, np.int32)
+        w = np.asarray(widths, np.int32)
+        h = np.asarray(heights, np.int32)
+        packed, layout = gth.pack_fields(
+            [kind, color_a, color_b, freq, off, w, h]
+        )
         return TextureTable(
-            kind=jnp.asarray([r[0] for r in rows], jnp.int32),
-            color_a=jnp.asarray(np.stack([r[1] for r in rows])),
-            color_b=jnp.asarray(np.stack([r[2] for r in rows])),
-            freq=jnp.asarray([r[3] for r in rows], jnp.float32),
-            img_offset=jnp.asarray(offsets, jnp.int32),
-            img_w=jnp.asarray(widths, jnp.int32),
-            img_h=jnp.asarray(heights, jnp.int32),
+            kind=jnp.asarray(kind),
+            color_a=jnp.asarray(color_a),
+            color_b=jnp.asarray(color_b),
+            freq=jnp.asarray(freq),
+            img_offset=jnp.asarray(off),
+            img_w=jnp.asarray(w),
+            img_h=jnp.asarray(h),
             atlas=jnp.asarray(atlas),
-            perlin_grad=jnp.asarray(grad),
-            perlin_perm=jnp.asarray(perm),
+            packed=jnp.asarray(packed),
+            layout=tuple(layout),
         )

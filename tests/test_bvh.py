@@ -66,7 +66,10 @@ def test_bvh_traversal_matches_brute(cpu_rays=512):
 
 def test_tracer_uses_bvh_for_big_meshes():
     scene = presets.mesh_ball(levels=3)
-    tracer = trace_pallas.PallasTracer(scene.geom, interpret=True)
+    # Force the BVH path (the default threshold keeps 1k tris on the flat
+    # sweep, which is faster on TPU — this test checks BVH correctness).
+    tracer = trace_pallas.PallasTracer(scene.geom, interpret=True,
+                                       bvh_threshold=32)
     assert tracer.mesh is not None
     n = 256
     rng = np.random.default_rng(1)
