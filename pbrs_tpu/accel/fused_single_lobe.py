@@ -1,16 +1,19 @@
-"""Fused per-bounce megakernel, single-lobe material generalization.
+"""Fused per-bounce megakernel, generalized material/light specialization.
 
 Extends the diffuse megakernel (accel/fused_kernel.py) to every
 single-lobe material in the reference set — Lambert, isotropic microfacet
 (Beckmann / Trowbridge-Reitz with Nop / dielectric / conductor Fresnel),
-perfect mirror, hybrid dielectric, pure transmit — plus delta lights
-(point / distant), flat-shaded triangles, disks, and the dusk environment.
-Matches the general jnp wavefront on identical RNG streams (verified in
-tests/test_fused_single_lobe.py, same methodology as the diffuse kernel).
+perfect mirror, hybrid dielectric, pure transmit — plus two-lobe SMOOTH
+mixtures (plastic, default uber: microfacet + lambert with the uniform
+lobe-pick mixture), delta lights (point / distant), all four area-light
+shapes (quad / sphere-cone / disk / triangle), flat-shaded triangles,
+disks, and the dusk environment. Matches the general jnp wavefront on
+identical RNG streams (verified in tests/test_fused_single_lobe.py, same
+methodology as the diffuse kernel).
 
-Multi-lobe materials (plastic/uber/substrate), textures, Oren-Nayar,
-FresnelBlend, Fourier tables, smooth-shaded meshes, sphere/triangle area
-lights and image environments still take the general path.
+Still on the general path: 3+-lobe materials (full uber), delta+smooth
+mixtures, textures, Oren-Nayar, FresnelBlend, Fourier tables,
+smooth-shaded meshes and image environments.
 
 [ref: the fused equivalent of src/pathintegrator.rs:9-74 +
  src/directlighting.rs:58-232 + geometry/src/bxdf.rs:262-717]
@@ -43,10 +46,10 @@ _SUPPORTED_KINDS = {
     lb.SPEC_TRANSMIT,
 }
 
-# Material bank columns [M, 18]:
-# 0-2 albedo, 3-5 emission, 6 kind, 7 alpha, 8 distrib, 9 fr_kind,
-# 10-11 eta (front, back), 12-14 conductor eta_t, 15-17 conductor k.
-MAT_COLS = 18
+# Material bank columns [M, 3 + 15*n_slots]:
+# 0-2 emission, then 15 columns per lobe slot:
+# albedo(3), kind, alpha, distrib, fr_kind, eta(2), eta_t(3), k(3).
+SLOT_COLS = 15
 
 
 def scene_supports_single_lobe(scene) -> bool:
@@ -57,14 +60,22 @@ def scene_supports_single_lobe(scene) -> bool:
     kinds = set(np.asarray(mt.kind).reshape(-1).tolist())
     if kinds - _SUPPORTED_KINDS:
         return False
-    if mt.kind.shape[1] > 1 and (np.asarray(mt.kind)[:, 1:] != lb.NONE).any():
-        return False  # any multi-lobe material -> general path
-    alpha = np.asarray(mt.alpha)[:, 0, :]
-    km = np.asarray(mt.kind)[:, 0]
-    mf_rows = km == lb.MICROFACET
-    if mf_rows.any() and not np.allclose(alpha[mf_rows, 0],
-                                         alpha[mf_rows, 1]):
-        return False  # anisotropic microfacet -> general path
+    km_all = np.asarray(mt.kind)
+    if km_all.shape[1] > 2 and (km_all[:, 2:] != lb.NONE).any():
+        return False  # 3+ lobes (full uber) -> general path
+    two = km_all.shape[1] > 1 and (km_all[:, 1] != lb.NONE).any()
+    if two:
+        # Two-lobe mixtures (plastic / default uber): smooth kinds only —
+        # delta+smooth mixing has different pdf semantics.
+        if kinds - {lb.NONE, lb.LAMBERT, lb.MICROFACET}:
+            return False
+    n_check = 2 if two else 1
+    for s in range(n_check):
+        alpha = np.asarray(mt.alpha)[:, s, :]
+        mf_rows = km_all[:, s] == lb.MICROFACET
+        if mf_rows.any() and not np.allclose(alpha[mf_rows, 0],
+                                             alpha[mf_rows, 1]):
+            return False  # anisotropic microfacet -> general path
     if scene.env.kind == lt.ENV_IMAGE:
         return False
     # The masked material-fetch loop is O(M), but even at M=485
@@ -392,7 +403,7 @@ def _sample_lobe(mat, wolx, woly, wolz, su0, su1, eval_pdf, has):
 def _bounce2_kernel(
     *refs,
     counts, n_mats, n_area, n_delta, env_kind, present_kinds, light_shapes,
-    bounce_is_first, rr_active,
+    two_slots, bounce_is_first, rr_active,
 ):
     cols = refs[:16]
     (mats_ref, lights_ref, delta_ref, ints_ref, scal_ref) = refs[16:21]
@@ -607,8 +618,7 @@ def _bounce2_kernel(
 
     # ---- material fetch ----
     zeros = jnp.zeros_like(rox)
-    need_k = has(lb.MICROFACET) or has(lb.SPEC_MIRROR)
-    n_cols = MAT_COLS if need_k else 15
+    n_cols = 3 + SLOT_COLS * (2 if two_slots else 1)
 
     def mat_body(m, carry):
         out = list(carry)
@@ -618,65 +628,123 @@ def _bounce2_kernel(
         return tuple(out)
 
     got = jax.lax.fori_loop(0, n_mats, mat_body, (zeros,) * n_cols)
-    (alb_r, alb_g, alb_b, emi_r, emi_g, emi_b, kind_f, alpha, distrib_f,
-     frk_f, eta0, eta1, etr, etg, etb) = got[:15]
-    kr, kg, kb = got[15:18] if need_k else (zeros, zeros, zeros)
+    emi_r, emi_g, emi_b = got[0:3]
 
-    mat = {
-        "kind": kind_f.astype(jnp.int32), "alpha": alpha,
-        "distrib": distrib_f.astype(jnp.int32),
-        "fr_kind": frk_f.astype(jnp.int32),
-        "eta0": eta0, "eta1": eta1, "etr": etr, "etg": etg, "etb": etb,
-        "kr": kr, "kg": kg, "kb": kb,
-        "alb_r": alb_r, "alb_g": alb_g, "alb_b": alb_b,
-    }
-    kind = mat["kind"]
+    def lobe_dict(base):
+        (alb_r, alb_g, alb_b, kind_f, alpha, distrib_f, frk_f, eta0, eta1,
+         etr, etg, etb, kr, kg, kb) = got[base:base + SLOT_COLS]
+        return {
+            "kind": kind_f.astype(jnp.int32), "alpha": alpha,
+            "distrib": distrib_f.astype(jnp.int32),
+            "fr_kind": frk_f.astype(jnp.int32),
+            "eta0": eta0, "eta1": eta1, "etr": etr, "etg": etg, "etb": etb,
+            "kr": kr, "kg": kg, "kb": kb,
+            "alb_r": alb_r, "alb_g": alb_g, "alb_b": alb_b,
+        }
 
-    # ---- single-lobe eval/pdf in the local frame (lobes.eval_lobe +
+    l0 = lobe_dict(3)
+    l1 = lobe_dict(3 + SLOT_COLS) if two_slots else None
+
+    # ---- per-lobe eval/pdf in the local frame (lobes.eval_lobe +
     # lobes.pdf_lobe for LAMBERT / isotropic MICROFACET) ----
+    def make_eval(lob):
+        kind = lob["kind"]
+        alb_r, alb_g, alb_b = lob["alb_r"], lob["alb_g"], lob["alb_b"]
+        alpha = lob["alpha"]
+
+        def eval_pdf(wilx, wily, wilz):
+            f_r = jnp.zeros_like(rox)
+            f_g = jnp.zeros_like(rox)
+            f_b = jnp.zeros_like(rox)
+            pdf = jnp.zeros_like(rox)
+            same = wolz * wilz >= 0.0
+            if has(lb.LAMBERT):
+                sel = kind == lb.LAMBERT
+                f_r = jnp.where(sel, alb_r * INV_PI, f_r)
+                f_g = jnp.where(sel, alb_g * INV_PI, f_g)
+                f_b = jnp.where(sel, alb_b * INV_PI, f_b)
+                pdf = jnp.where(sel & same, jnp.abs(wilz) * INV_PI, pdf)
+            if has(lb.MICROFACET):
+                mx = wolx + wilx
+                my = woly + wily
+                mz = wolz + wilz
+                m2 = mx * mx + my * my + mz * mz
+                okm = m2 > 1e-16
+                minv = jax.lax.rsqrt(jnp.maximum(m2, 1e-30))
+                whx, why, whz = mx * minv, my * minv, mz * minv
+                dval = _d_ndf(lob["distrib"], alpha, whz)
+                g = 1.0 / (
+                    1.0 + _lambda_iso(lob["distrib"], alpha, wolz)
+                    + _lambda_iso(lob["distrib"], alpha, wilz)
+                )
+                # eval: fresnel at wi·wh with wh face-forwarded to +z
+                zsgn = jnp.where(whz < 0.0, -1.0, 1.0)
+                cos_ih = (wilx * whx + wily * why + wilz * whz) * zsgn
+                frr, frg, frb = _fresnel_rgb(
+                    lob["fr_kind"], cos_ih, lob["eta0"], lob["eta1"],
+                    lob["etr"], lob["etg"], lob["etb"],
+                    lob["kr"], lob["kg"], lob["kb"],
+                )
+                inv_den = _weak_recip(4.0 * jnp.abs(wolz) * jnp.abs(wilz))
+                scale = jnp.where(okm, dval * g * inv_den, 0.0)
+                sel = kind == lb.MICROFACET
+                f_r = jnp.where(sel, alb_r * scale * frr, f_r)
+                f_g = jnp.where(sel, alb_g * scale * frg, f_g)
+                f_b = jnp.where(sel, alb_b * scale * frb, f_b)
+                # pdf: D(wh)|cosθh| / (4 wo·wh) with the raw (unflipped) wh
+                dot_oh = wolx * whx + woly * why + wolz * whz
+                p_mf = dval * jnp.abs(whz) * _weak_recip(4.0 * dot_oh)
+                p_mf = jnp.where(same & okm, p_mf, 0.0)
+                pdf = jnp.where(sel, jnp.maximum(p_mf, 0.0), pdf)
+            return f_r, f_g, f_b, pdf
+
+        return eval_pdf
+
+    eval0 = make_eval(l0)
+    eval1 = make_eval(l1) if two_slots else None
+    if two_slots:
+        n_active = ((l0["kind"] != lb.NONE).astype(jnp.int32)
+                    + (l1["kind"] != lb.NONE).astype(jnp.int32))
+        n_active_f = jnp.maximum(n_active, 1).astype(jnp.float32)
+
     def eval_pdf(wilx, wily, wilz):
-        f_r = jnp.zeros_like(rox)
-        f_g = jnp.zeros_like(rox)
-        f_b = jnp.zeros_like(rox)
-        pdf = jnp.zeros_like(rox)
-        same = wolz * wilz >= 0.0
-        if has(lb.LAMBERT):
-            sel = kind == lb.LAMBERT
-            f_r = jnp.where(sel, alb_r * INV_PI, f_r)
-            f_g = jnp.where(sel, alb_g * INV_PI, f_g)
-            f_b = jnp.where(sel, alb_b * INV_PI, f_b)
-            pdf = jnp.where(sel & same, jnp.abs(wilz) * INV_PI, pdf)
-        if has(lb.MICROFACET):
-            mx = wolx + wilx
-            my = woly + wily
-            mz = wolz + wilz
-            m2 = mx * mx + my * my + mz * mz
-            okm = m2 > 1e-16
-            minv = jax.lax.rsqrt(jnp.maximum(m2, 1e-30))
-            whx, why, whz = mx * minv, my * minv, mz * minv
-            dval = _d_ndf(mat["distrib"], alpha, whz)
-            g = 1.0 / (
-                1.0 + _lambda_iso(mat["distrib"], alpha, wolz)
-                + _lambda_iso(mat["distrib"], alpha, wilz)
-            )
-            # eval: fresnel at wi·wh with wh face-forwarded to +z
-            zsgn = jnp.where(whz < 0.0, -1.0, 1.0)
-            cos_ih = (wilx * whx + wily * why + wilz * whz) * zsgn
-            frr, frg, frb = _fresnel_rgb(
-                mat["fr_kind"], cos_ih, eta0, eta1, etr, etg, etb, kr, kg, kb
-            )
-            inv_den = _weak_recip(4.0 * jnp.abs(wolz) * jnp.abs(wilz))
-            scale = jnp.where(okm, dval * g * inv_den, 0.0)
-            sel = kind == lb.MICROFACET
-            f_r = jnp.where(sel, alb_r * scale * frr, f_r)
-            f_g = jnp.where(sel, alb_g * scale * frg, f_g)
-            f_b = jnp.where(sel, alb_b * scale * frb, f_b)
-            # pdf: D(wh)|cosθh| / (4 wo·wh) with the raw (unflipped) wh
-            dot_oh = wolx * whx + woly * why + wolz * whz
-            p_mf = dval * jnp.abs(whz) * _weak_recip(4.0 * dot_oh)
-            p_mf = jnp.where(same & okm, p_mf, 0.0)
-            pdf = jnp.where(sel, jnp.maximum(p_mf, 0.0), pdf)
+        """Mixture eval: Σ f over slots, pdf = Σ pdf / n_active
+        [ref: src/bsdf.rs:43-57, corrected mixture in bxdf/bsdf.py]."""
+        f_r, f_g, f_b, pdf = eval0(wilx, wily, wilz)
+        if two_slots:
+            f1r, f1g, f1b, p1 = eval1(wilx, wily, wilz)
+            f_r = f_r + f1r
+            f_g = f_g + f1g
+            f_b = f_b + f1b
+            pdf = (pdf + p1) / n_active_f
         return f_r, f_g, f_b, pdf
+
+    def sample_mix(u0, u1):
+        """bsdf.sample_bsdf: uniform lobe pick on u0, remap, sample the
+        chosen lobe with (u1, remapped u0), tally the other slot.
+        [ref: src/bsdf.rs:59-103]"""
+        if not two_slots:
+            return _sample_lobe(l0, wolx, woly, wolz, u1, u0, eval0, has)
+        chosen = jnp.minimum((u0 * n_active_f).astype(jnp.int32),
+                             jnp.maximum(n_active - 1, 0))
+        u_remap = jnp.mod(u0 * n_active_f, 1.0)
+        pick0 = chosen == 0
+        lc = {k: jnp.where(pick0, l0[k], l1[k]) for k in l0}
+        evalc = make_eval(lc)
+        (f_r, f_g, f_b, wix, wiy, wiz, p_c, is_delta) = _sample_lobe(
+            lc, wolx, woly, wolz, u1, u_remap, evalc, has)
+        f0r, f0g, f0b, p0 = eval0(wix, wiy, wiz)
+        f1r, f1g, f1b, p1 = eval1(wix, wiy, wiz)
+        f_r = f_r + jnp.where(pick0, f1r, f0r)
+        f_g = f_g + jnp.where(pick0, f1g, f0g)
+        f_b = f_b + jnp.where(pick0, f1b, f0b)
+        pdf = (p_c + jnp.where(pick0, p1, p0)) / n_active_f
+        none = n_active == 0
+        f_r = jnp.where(none, 0.0, f_r)
+        f_g = jnp.where(none, 0.0, f_g)
+        f_b = jnp.where(none, 0.0, f_b)
+        pdf = jnp.where(none, 0.0, pdf)
+        return f_r, f_g, f_b, wix, wiy, wiz, pdf, is_delta
 
     # ---- emission / env on camera + post-delta segments ----
     env_r, env_g, env_b = _env_eval(env_kind, scal_ref, rdx, rdy, rdz)
@@ -1102,8 +1170,7 @@ def _bounce2_kernel(
         # -------- BSDF-sampled arm (area MIS + env) --------
         if n_area > 0 or has_env:
             (sf_r, sf_g, sf_b, s_wlx, s_wly, s_wlz, s_pdf,
-             s_delta) = _sample_lobe(mat, wolx, woly, wolz, u_s1, u_s0,
-                                     eval_pdf, has)
+             s_delta) = sample_mix(u_s0, u_s1)
             w2x, w2y, w2z = to_world(s_wlx, s_wly, s_wlz)
             cos2a = jnp.abs(w2x * nx + w2y * ny + w2z * nz)
             f2r = sf_r * cos2a
@@ -1170,9 +1237,8 @@ def _bounce2_kernel(
     # ---- BSDF sample for the next direction ----
     u_b0 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 0)
     u_b1 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 1)
-    (bf_r, bf_g, bf_b, b_wlx, b_wly, b_wlz, b_pdf, b_delta) = _sample_lobe(
-        mat, wolx, woly, wolz, u_b1, u_b0, eval_pdf, has,
-    )
+    (bf_r, bf_g, bf_b, b_wlx, b_wly, b_wlz, b_pdf, b_delta) = sample_mix(
+        u_b0, u_b1)
     wnx, wny, wnz = to_world(b_wlx, b_wly, b_wlz)
     cosn = jnp.abs(wnx * nx + wny * ny + wnz * nz)
     f_any = (bf_r > 0.0) | (bf_g > 0.0) | (bf_b > 0.0)
@@ -1214,13 +1280,14 @@ def _bounce2_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("counts", "n_mats", "n_area", "n_delta", "env_kind",
-                     "present_kinds", "light_shapes", "bounce_is_first",
-                     "rr_active", "interpret"),
+                     "present_kinds", "light_shapes", "two_slots",
+                     "bounce_is_first", "rr_active", "interpret"),
 )
 def _bounce2_call(params, mats, lights, delta, ints, scal,
                   ox, oy, oz, dx, dy, dz, br, bg, bb, alive, spec, pix, samp,
                   counts, n_mats, n_area, n_delta, env_kind, present_kinds,
-                  light_shapes, bounce_is_first, rr_active, interpret):
+                  light_shapes, two_slots, bounce_is_first, rr_active,
+                  interpret):
     rows = ox.shape[0]
     grid = (rows // BLOCK_ROWS,)
     blk = lambda: pl.BlockSpec(
@@ -1230,8 +1297,8 @@ def _bounce2_call(params, mats, lights, delta, ints, scal,
     kernel = functools.partial(
         _bounce2_kernel, counts=counts, n_mats=n_mats, n_area=n_area,
         n_delta=n_delta, env_kind=env_kind, present_kinds=present_kinds,
-        light_shapes=light_shapes, bounce_is_first=bounce_is_first,
-        rr_active=rr_active,
+        light_shapes=light_shapes, two_slots=two_slots,
+        bounce_is_first=bounce_is_first, rr_active=rr_active,
     )
     shp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     ishp = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -1272,20 +1339,28 @@ class FusedSingleLobeIntegrator:
 
         mt = scene.materials
         m = mt.kind.shape[0]
-        bank = np.zeros((m, MAT_COLS), np.float32)
-        bank[:, 0:3] = np.asarray(mt.albedo)[:, 0, :]
-        bank[:, 3:6] = np.asarray(mt.emission)
-        bank[:, 6] = np.asarray(mt.kind)[:, 0]
-        bank[:, 7] = np.asarray(mt.alpha)[:, 0, 0]
-        bank[:, 8] = np.asarray(mt.distrib)[:, 0]
-        bank[:, 9] = np.asarray(mt.fr_kind)[:, 0]
-        bank[:, 10:12] = np.asarray(mt.eta)[:, 0, :]
-        bank[:, 12:15] = np.asarray(mt.eta_t)[:, 0, :]
-        bank[:, 15:18] = np.asarray(mt.k)[:, 0, :]
-        self.mats = jnp.asarray(bank)
-        self.present_kinds = tuple(sorted(
-            set(np.asarray(mt.kind)[:, 0].tolist()) - {lb.NONE}
-        ))
+        km = np.asarray(mt.kind)
+        self.two_slots = km.shape[1] > 1 and (km[:, 1] != lb.NONE).any()
+
+        def slot_cols(s):
+            return np.concatenate([
+                np.asarray(mt.albedo)[:, s, :],
+                km[:, s, None].astype(np.float32),
+                np.asarray(mt.alpha)[:, s, 0, None],
+                np.asarray(mt.distrib)[:, s, None].astype(np.float32),
+                np.asarray(mt.fr_kind)[:, s, None].astype(np.float32),
+                np.asarray(mt.eta)[:, s, :],
+                np.asarray(mt.eta_t)[:, s, :],
+                np.asarray(mt.k)[:, s, :],
+            ], axis=1).astype(np.float32)  # 15 cols per slot
+
+        parts = [np.asarray(mt.emission).astype(np.float32), slot_cols(0)]
+        used = km[:, 0].tolist()
+        if self.two_slots:
+            parts.append(slot_cols(1))
+            used += km[:, 1].tolist()
+        self.mats = jnp.asarray(np.concatenate(parts, axis=1))
+        self.present_kinds = tuple(sorted(set(used) - {lb.NONE}))
 
         al = scene.area_lights
         self.n_area = al.count
@@ -1369,6 +1444,7 @@ class FusedSingleLobeIntegrator:
                 env_kind=self.env_kind,
                 present_kinds=self.present_kinds,
                 light_shapes=self.light_shapes,
+                two_slots=self.two_slots,
                 bounce_is_first=(bounce == 0),
                 rr_active=(bounce > rr_start),
                 interpret=self.interpret,

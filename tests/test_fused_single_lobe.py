@@ -123,6 +123,41 @@ def test_shaped_lights_match_general_path():
     _compare(scene, pix_n=20, depth=4)
 
 
+def _plastic_scene():
+    """Two-lobe mixtures: plastic (microfacet+lambert) and default uber."""
+    b = SceneBuilder()
+    g = b.geometry
+    g.add_quad((-12, 0, -12), (24, 0, 0), (0, 0, 24),
+               b.materials.add_lambertian((0.6, 0.6, 0.55)))
+    g.add_sphere((-2, 1, 0), 1.0, b.materials.add_plastic(
+        (0.5, 0.15, 0.12), (0.7, 0.7, 0.7), 0.08))
+    g.add_sphere((2, 1, 0), 1.0, b.materials.add_uber(
+        (0.2, 0.35, 0.55), (0.5, 0.5, 0.5), roughness=0.15))
+    light_c = (9.0, 9.0, 9.0)
+    light = b.materials.add_diffuse_light(light_c)
+    g.add_quad((-2, 6, -2), (4, 0, 0), (0, 0, 4), light)
+    b.lights.add_area_quad(light_c, (-2, 6, -2), (4, 0, 0), (0, 0, 4))
+    b.lights.env = presets.BLUE_SKY
+    cam = cam_mod.make_camera((20, 20), 45.0)
+    b.camera = cam_mod.looking_at(cam, (0, 4, -10), (0, 1, 0), (0, 1, 0))
+    return b.build()
+
+
+def test_plastic_two_lobe_matches_general_path():
+    scene = _plastic_scene()
+    assert fsl.scene_supports_single_lobe(scene)
+    assert fsl.FusedSingleLobeIntegrator(scene, interpret=True).two_slots
+    _compare(scene, pix_n=20, depth=4)
+    # uber with a reflection lobe (3 lobes) stays on the general path
+    b = SceneBuilder()
+    m = b.materials.add_uber((0.2, 0.2, 0.2), (0.5, 0.5, 0.5),
+                             kr=(0.3, 0.3, 0.3))
+    b.geometry.add_sphere((0, 0, 0), 1.0, m)
+    b.lights.env = presets.BLUE_SKY
+    b.camera = cam_mod.make_camera((8, 8), 45.0)
+    assert not fsl.scene_supports_single_lobe(b.build())
+
+
 def test_cornell_matches_general_and_diffuse_kernel():
     scene = presets.cornell_box()
     cam = cam_mod.looking_at(
