@@ -32,10 +32,16 @@ def make_mesh(n_dp: int | None = None, n_sp: int = 1, devices=None) -> Mesh:
 
 def render_batch_sharded(scene, sampler, pixel_idx, sample_base: int,
                          samples_per_call: int, mesh: Mesh, max_depth=5,
-                         msaa=2, use_nee=True, trace_fns=None):
+                         msaa=2, use_nee=True, trace_fns=None,
+                         integrator=None):
     """Render `samples_per_call` samples for every pixel in `pixel_idx`,
     sharded over the mesh. Each 'sp' slice takes a disjoint sample-index
     stripe; the per-pixel sums are psum'd over 'sp'.
+
+    `integrator`: optional fused megakernel driver (FusedDiffuseIntegrator /
+    FusedSingleLobeIntegrator) to run per-shard instead of the general
+    wavefront — the fast single-chip kernels compose with the mesh because
+    the estimator is stateless (counter-based RNG) and per-shard local.
 
     Returns per-pixel radiance summed over the samples, [N, 3] (sharded
     over 'dp', replicated over 'sp').
@@ -49,15 +55,28 @@ def render_batch_sharded(scene, sampler, pixel_idx, sample_base: int,
         sp_idx = jax.lax.axis_index("sp")
         acc = jnp.zeros(pix.shape + (3,), jnp.float32)
 
-        def body(i, acc):
-            s = sample_base + sp_idx * per_shard + i
-            rad = wavefront.render_samples(
+        def render_one(s):
+            if integrator is not None:
+                return integrator.render_samples(
+                    sampler, pix, s, max_depth=max_depth, msaa=msaa
+                )
+            return wavefront.render_samples(
                 scene, sampler, pix, s, max_depth=max_depth, msaa=msaa,
                 use_nee=use_nee, intersect_fn=isect_fn, occlude_fn=occl_fn,
             )
-            return acc + rad
 
-        acc = jax.lax.fori_loop(0, per_shard, body, acc)
+        if integrator is not None:
+            # The fused drivers run a python per-bounce loop; unroll the
+            # per-shard sample loop too (sample counts per call are small).
+            for i in range(per_shard):
+                acc = acc + render_one(sample_base + sp_idx * per_shard + i)
+        else:
+            acc = jax.lax.fori_loop(
+                0, per_shard,
+                lambda i, a: a + render_one(sample_base
+                                            + sp_idx * per_shard + i),
+                acc,
+            )
         return jax.lax.psum(acc, axis_name="sp")
 
     fn = jax.shard_map(

@@ -184,6 +184,29 @@ def test_env_mapped_matches_general_path():
     _compare(scene, pix_n=20, depth=4, samples=(0,))
 
 
+def test_sharded_fused_matches_single_device():
+    """The fused megakernel composes with the dp x sp mesh: per-shard
+    pallas calls + stateless RNG give the identical image."""
+    import jax
+
+    from pbrs_tpu import parallel
+
+    scene = _zoo_scene()
+    mesh = parallel.make_mesh(n_dp=4, n_sp=2)
+    sampler = smp.PCGSampler(0)
+    pix = jnp.arange(24 * 24, dtype=jnp.int32)
+    integ = fsl.FusedSingleLobeIntegrator(scene, interpret=True)
+    shard = jax.jit(lambda sc, p: parallel.render_batch_sharded(
+        sc, sampler, p, 0, 2, mesh, max_depth=3, msaa=1, integrator=integ))
+    out = np.asarray(shard(scene, pix))
+    single = (
+        np.asarray(integ.render_samples(sampler, pix, 0, max_depth=3, msaa=1))
+        + np.asarray(integ.render_samples(sampler, pix, 1, max_depth=3,
+                                          msaa=1))
+    )
+    np.testing.assert_allclose(out, single, atol=3e-5, rtol=1e-4)
+
+
 def test_ray_count_matches_general():
     scene = _zoo_scene()
     sampler = smp.PCGSampler(0)
