@@ -1203,14 +1203,14 @@ def _bounce2_kernel(
             )
 
             if n_area > 0:
-                w_b = jnp.where(
-                    s_delta, 1.0,
-                    s_pdf * s_pdf / jnp.maximum(
-                        s_pdf * s_pdf + pdf_l2 * pdf_l2, 1e-30),
-                )
+                w_b = s_pdf * s_pdf / jnp.maximum(
+                    s_pdf * s_pdf + pdf_l2 * pdf_l2, 1e-30)
                 f_any = (f2r > 0.0) | (f2g > 0.0) | (f2b > 0.0)
+                # ~s_delta: delta-sampled directions are excluded from the
+                # NEE BSDF arm — the emission-after-specular rule covers
+                # them (COMPAT.md #15; matches integrators/nee.py).
                 valid_b = (
-                    arm_area & hit_l & ~occ2 & (s_pdf > 0.0)
+                    arm_area & hit_l & ~s_delta & ~occ2 & (s_pdf > 0.0)
                     & (pdf_l2 > 0.0) & f_any
                 )
                 cb_ = jnp.where(valid_b, w_b * _weak_recip(s_pdf), 0.0)
@@ -1223,7 +1223,8 @@ def _bounce2_kernel(
 
             if has_env:
                 er2, eg2, eb2 = _env_eval(env_kind, scal_ref, w2x, w2y, w2z)
-                valid_e = arm_env & ~occ2 & (s_pdf > 0.0)
+                # ~s_delta: same double-count exclusion (COMPAT.md #15).
+                valid_e = arm_env & ~s_delta & ~occ2 & (s_pdf > 0.0)
                 ce_ = jnp.where(valid_e, _weak_recip(s_pdf), 0.0)
                 rad_out_r += jnp.where(alive, beta[0] * f2r * er2 * ce_
                                        * n_lights, 0.0)

@@ -23,7 +23,7 @@ GAUSSIAN = 2
 MITCHELL = 3
 LANCZOS = 4
 
-_CDF_RES = 256
+_CDF_RES = 1024
 
 
 def eval_filter_1d(kind: int, radius: float, x, alpha=2.0, b=1.0 / 3.0,
@@ -65,29 +65,60 @@ def eval_filter_1d(kind: int, radius: float, x, alpha=2.0, b=1.0 / 3.0,
     raise ValueError(f"unknown filter kind {kind}")
 
 
-def make_filter_cdf(kind: int, radius: float, **params):
-    """Inverse-CDF sample table for filter importance sampling.
+class FilterTable:
+    """Inverse-CDF table + per-bin signed weights for weighted FIS.
 
-    Negative filter lobes (Mitchell, Lanczos) are sampled by |f| — for the
-    common parameter ranges the negative lobes are small; we clamp to the
-    positive part (standard FIS practice).
-    Returns a [_CDF_RES+1] table mapping u in [0,1] -> offset in
-    [-radius, +radius], as a jnp array.
+    `weighted` is a host-side flag: False for non-negative filters
+    (box/triangle/gaussian), where every weight is exactly 1 and the film
+    can skip the weight multiply entirely.
+    """
+
+    def __init__(self, inv_cdf, weights, weighted: bool):
+        self.inv_cdf = inv_cdf
+        self.weights = weights
+        self.weighted = weighted
+
+
+def make_filter_cdf(kind: int, radius: float, **params) -> FilterTable:
+    """Weighted filter-importance-sampling table.
+
+    Samples are drawn from |f| / ∫|f|; each sample carries the signed weight
+    w(x) = sign(f(x)) · ∫|f| / ∫f, so E[w·L] = ∫ f L / ∫ f — the true filter,
+    including Mitchell/Lanczos negative lobes (the reference evaluates the
+    true Mitchell-Netravali kernel, math/src/filter.rs:47-75, but never
+    applies it; we apply it exactly up to the table resolution).
     """
     xs = np.linspace(-radius, radius, 4096)
-    f = np.maximum(eval_filter_1d(kind, radius, xs, **params), 0.0)
-    cdf = np.cumsum(f)
+    f = eval_filter_1d(kind, radius, xs, **params)
+    af = np.abs(f)
+    int_f = np.trapezoid(f, xs)
+    int_af = np.trapezoid(af, xs)
+    ratio = float(int_af / int_f)
+    cdf = np.cumsum(af)
     cdf = cdf / cdf[-1]
     u = np.linspace(0.0, 1.0, _CDF_RES + 1)
     inv = np.interp(u, cdf, xs)
-    return jnp.asarray(inv.astype(np.float32))
+    # Per-bin signed weight from the filter sign at the bin midpoint.
+    mid = 0.5 * (inv[:-1] + inv[1:])
+    sgn = np.sign(eval_filter_1d(kind, radius, mid, **params))
+    sgn = np.where(sgn == 0.0, 1.0, sgn)
+    wgt = np.concatenate([sgn * ratio, [sgn[-1] * ratio]])
+    weighted = bool(np.any(wgt != 1.0))
+    return FilterTable(
+        jnp.asarray(inv.astype(np.float32)),
+        jnp.asarray(wgt.astype(np.float32)),
+        weighted,
+    )
 
 
-def sample_filter_offset(inv_cdf, u):
-    """Map uniform u [N] -> filter-distributed offset via the table."""
-    pos = u * (_CDF_RES - 1)
+def sample_filter_offset(table: FilterTable, u):
+    """Map uniform u [N] -> (filter-distributed offset, signed FIS weight)."""
+    pos = u * _CDF_RES
     i0 = jnp.clip(pos.astype(jnp.int32), 0, _CDF_RES - 1)
     frac = pos - i0.astype(jnp.float32)
-    a = inv_cdf[i0]
-    b = inv_cdf[i0 + 1]
-    return a + frac * (b - a)
+    a = table.inv_cdf[i0]
+    b = table.inv_cdf[i0 + 1]
+    off = a + frac * (b - a)
+    if not table.weighted:
+        return off, None
+    return off, table.weights[i0]

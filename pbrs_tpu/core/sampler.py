@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Purpose/dimension ids — one stream per logical decision per bounce.
 DIM_CAMERA_JITTER = 0
@@ -29,6 +30,7 @@ DIM_SCATTER_UV = 3
 DIM_BSDF_UV = 4
 DIM_RUSSIAN_ROULETTE = 5
 DIM_SPECULAR_CHOICE = 6
+DIM_CAMERA_STRATUM = 7
 
 
 def _pcg_permute(x):
@@ -131,8 +133,22 @@ def stratified_jitter(sampler, pixel, sample, msaa: int):
     """
     u = sampler.u2(pixel, sample, 0, DIM_CAMERA_JITTER)
     i = jnp.asarray(sample)
-    sx = (i // msaa).astype(jnp.float32)
-    sy = (i % msaa).astype(jnp.float32)
+    # Sample ids >= msaa² (sharded renders round the batch up to the 'sp'
+    # axis) fall back to a *random* stratum, keeping the jitter inside the
+    # pixel footprint and the estimator unbiased regardless of how many
+    # extra samples the rounding added. [ADVICE r1 #5]
+    n_strata = msaa * msaa
+    overflow = i >= n_strata
+    if isinstance(sample, (int, np.integer)) and int(sample) < n_strata:
+        k = i
+    else:
+        u_s = sampler.u1(pixel, sample, 0, DIM_CAMERA_STRATUM)
+        rand_k = jnp.minimum(
+            (u_s * n_strata).astype(jnp.int32), n_strata - 1
+        )
+        k = jnp.where(overflow, rand_k, i)
+    sx = ((k // msaa) % msaa).astype(jnp.float32)
+    sy = (k % msaa).astype(jnp.float32)
     dx = (sx + u[..., 0]) / msaa
     dy = (sy + u[..., 1]) / msaa
     return dx, dy

@@ -131,12 +131,18 @@ def uniform_sample_one_light(
         occluded_b = occlude_fn(shadow2)
 
         if n_area > 0:
-            weight_b = jnp.where(
-                is_delta_b, 1.0, _power2_heuristic(pdf_b, pdf_light_b)
-            )
+            weight_b = _power2_heuristic(pdf_b, pdf_light_b)
+            # Delta-sampled directions are excluded from the NEE BSDF arm
+            # (pbrt EstimateDirect semantics: non-specular lobes only) —
+            # light seen through a delta lobe is accounted for by the
+            # emission-after-specular-bounce rule in the path loop, so
+            # counting it here too would double it. The reference has this
+            # latent bug (directlighting.rs Prob::Mass => weight 1);
+            # COMPAT.md #15.
             valid_b = (
                 arm_area
                 & hit_light
+                & ~is_delta_b
                 & ~occluded_b
                 & (pdf_b > 0.0)
                 & (pdf_light_b > 0.0)
@@ -147,7 +153,8 @@ def uniform_sample_one_light(
 
         if has_env:
             li_env = lt.eval_env(scene.env, wi_b)
-            valid_e = arm_env & ~occluded_b & (pdf_b > 0.0)
+            # ~is_delta_b: same double-count exclusion as the area arm.
+            valid_e = arm_env & ~is_delta_b & ~occluded_b & (pdf_b > 0.0)
             contrib_e = f_b * li_env * vm.weak_recip(pdf_b)[..., None]
             result = result + jnp.where(valid_e[..., None], contrib_e, 0.0)
 

@@ -32,18 +32,36 @@ def camera_rays(scene, sampler, pixel_idx, sample_idx, msaa,
                 filter_inv_cdf=None):
     """Camera ray batch; the per-sample jitter is stratified and, when a
     reconstruction filter is given, warped through its inverse CDF (filter
-    importance sampling: applies any filter with constant weight 1 — the
-    reference parses filters but never applies them, src/main.rs:208)."""
+    importance sampling — the reference parses filters but never applies
+    them, src/main.rs:208). Non-negative filters carry weight 1; filters
+    with negative lobes (Mitchell/Lanczos) use weighted FIS, and the
+    per-sample weight is returned by camera_rays_weighted."""
+    rays, _ = camera_rays_weighted(
+        scene, sampler, pixel_idx, sample_idx, msaa, filter_inv_cdf
+    )
+    return rays
+
+
+def camera_rays_weighted(scene, sampler, pixel_idx, sample_idx, msaa,
+                         filter_table=None):
+    """Like camera_rays, but returns (rays, weight) — weight is None for a
+    box/unweighted filter, else the per-sample signed FIS weight [N]."""
     row, col = cam_mod.pixel_coords(scene.camera, pixel_idx)
     dx, dy = smp.stratified_jitter(sampler, pixel_idx, sample_idx, msaa)
-    if filter_inv_cdf is not None:
+    weight = None
+    if filter_table is not None:
         from ..core import filters as flt
 
-        dx = 0.5 + flt.sample_filter_offset(filter_inv_cdf, dx)
-        dy = 0.5 + flt.sample_filter_offset(filter_inv_cdf, dy)
-    return cam_mod.shoot_rays(
+        ox, wx = flt.sample_filter_offset(filter_table, dx)
+        oy, wy = flt.sample_filter_offset(filter_table, dy)
+        dx = 0.5 + ox
+        dy = 0.5 + oy
+        if wx is not None:
+            weight = wx * wy
+    rays = cam_mod.shoot_rays(
         scene.camera, row, col, jnp.stack([dx, dy], axis=-1)
     )
+    return rays, weight
 
 
 def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
@@ -157,10 +175,16 @@ def render_samples(scene, sampler, pixel_idx, sample_idx, max_depth=5, msaa=2,
                    intersect_fn=None, occlude_fn=None, use_nee=True,
                    return_ray_count=False, filter_inv_cdf=None):
     """Camera rays + path integration for a (pixel, sample) batch."""
-    rays = camera_rays(scene, sampler, pixel_idx, sample_idx, msaa,
-                       filter_inv_cdf=filter_inv_cdf)
-    return path_radiance(
+    rays, weight = camera_rays_weighted(
+        scene, sampler, pixel_idx, sample_idx, msaa, filter_inv_cdf
+    )
+    out = path_radiance(
         scene, rays, sampler, pixel_idx, sample_idx, max_depth=max_depth,
         intersect_fn=intersect_fn, occlude_fn=occlude_fn, use_nee=use_nee,
         return_ray_count=return_ray_count,
     )
+    if weight is None:
+        return out
+    if return_ray_count:
+        return out[0] * weight[..., None], out[1]
+    return out * weight[..., None]

@@ -18,6 +18,8 @@ BVHs live in `pbrs_tpu.accel`, not here.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import jax.numpy as jnp
 from flax import struct
@@ -25,6 +27,16 @@ from flax import struct
 from ..core import gather as gth
 
 SPHERE, QUAD, TRIANGLE, DISK = 0, 1, 2, 3
+
+log = logging.getLogger(__name__)
+
+
+def _is_similarity(m3, tol=1e-4):
+    """True when the linear part is rotation × uniform scale (MᵀM ≈ s²·I) —
+    the only transforms that keep spheres spherical and disks circular."""
+    mtm = m3.T @ m3
+    s2 = np.trace(mtm) / 3.0
+    return bool(np.allclose(mtm, s2 * np.eye(3), atol=tol * max(s2, 1.0)))
 
 
 @struct.dataclass
@@ -78,6 +90,17 @@ class GeometryBuilder:
         radius = float(radius)
         if transform is not None:
             m = np.asarray(transform, np.float64)
+            if not _is_similarity(m[:3, :3]):
+                # The baked sphere table can only hold true spheres; a
+                # non-uniform scale / shear turns this one into an ellipsoid
+                # that the cbrt(|det|) radius cannot represent. Use an
+                # instanced scene (accel TLAS with trace-time transforms)
+                # for exact ellipsoids. [ADVICE r1 #2]
+                log.warning(
+                    "add_sphere: non-similarity transform approximated by "
+                    "uniform cbrt(|det|) scale; ellipsoids render as "
+                    "spheres on the baked path (see COMPAT.md)"
+                )
             scale = np.cbrt(abs(np.linalg.det(m[:3, :3])))
             center = (m[:3, :3] @ center + m[:3, 3]).astype(np.float32)
             radius *= float(scale)
@@ -164,11 +187,19 @@ class GeometryBuilder:
         radial = np.asarray(radial, np.float32)
         if transform is not None:
             m = np.asarray(transform, np.float64)
-            scale = np.cbrt(abs(np.linalg.det(m[:3, :3])))
-            rot = m[:3, :3] / scale
+            if not _is_similarity(m[:3, :3]):
+                log.warning(
+                    "add_disk: non-similarity transform — the circular disk "
+                    "table cannot hold the resulting ellipse; radius uses "
+                    "|M·radial| (see COMPAT.md)"
+                )
             center = (m[:3, :3] @ center + m[:3, 3]).astype(np.float32)
-            normal = (rot @ normal).astype(np.float32)
-            radial = (rot @ radial * scale).astype(np.float32)
+            # Normals transform by the inverse-transpose (correct under any
+            # affine; equals rotation for similarities). [ADVICE r1 #2;
+            # ref: geometry/src/transform.rs:314]
+            it = np.linalg.inv(m[:3, :3]).T
+            normal = (it @ normal).astype(np.float32)
+            radial = (m[:3, :3] @ radial).astype(np.float32)
         normal = normal / max(np.linalg.norm(normal), 1e-20)
         self.disks.append((center, normal, radial, mat))
 

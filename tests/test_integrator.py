@@ -70,6 +70,47 @@ def test_cornell_nee_matches_brute_force(cornell32):
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.05)
 
 
+def _mirror_light_scene():
+    """A mirror quad that reflects an area-light quad into the camera, plus
+    a diffuse floor (regression scene for the NEE delta double-count bug:
+    light seen through a specular bounce must be counted exactly once —
+    ADVICE r1 #1 / COMPAT.md #12)."""
+    from pbrs_tpu.scene.buffers import SceneBuilder
+
+    b = SceneBuilder()
+    mirror = b.materials.add_mirror()
+    white = b.materials.add_lambertian((0.7, 0.7, 0.7))
+    lmat = b.materials.add_diffuse_light((15.0, 15.0, 15.0))
+    g = b.geometry
+    # Mirror wall at z=2 facing the camera.
+    g.add_quad((-2, -2, 2), (4, 0, 0), (0, 4, 0), mirror)
+    # Area light behind the camera at z=-6, visible only via the mirror.
+    g.add_quad((-1, -1, -6), (2, 0, 0), (0, 2, 0), lmat)
+    # Diffuse floor to exercise the smooth NEE arms in the same render.
+    g.add_quad((-4, -2, -7), (8, 0, 0), (0, 0, 10), white)
+    b.lights.add_area_quad((15.0, 15.0, 15.0), (-1, -1, -6), (2, 0, 0),
+                           (0, 2, 0))
+    cam = cam_mod.make_camera((24, 24), 60.0)
+    b.camera = cam_mod.looking_at(cam, (0, 0, -3), (0, 0, 2), (0, 1, 0))
+    return b.build()
+
+
+def test_mirror_area_light_nee_not_double_counted():
+    """NEE and brute-force must agree on light seen through a mirror; the
+    pre-fix estimator rendered it at ~2x (delta-sampled BSDF arm + the
+    emission-after-specular rule both counted it)."""
+    scene = _mirror_light_scene()
+    img_nee = _render(scene, spp=64, max_depth=4, use_nee=True, seed=0)
+    img_brute = _render(scene, spp=256, max_depth=4, use_nee=False, seed=99)
+    # The mirror-reflected light occupies the image center.
+    c_nee = img_nee[8:16, 8:16].mean()
+    c_brute = img_brute[8:16, 8:16].mean()
+    assert c_brute > 1.0  # the reflected light is actually visible
+    np.testing.assert_allclose(c_nee, c_brute, rtol=0.06)
+    # Whole-image energy must agree too (floor gets NEE, mirror doesn't).
+    np.testing.assert_allclose(img_nee.mean(), img_brute.mean(), rtol=0.08)
+
+
 def test_determinism(cornell32):
     img1 = _render(cornell32, spp=4, seed=7)
     img2 = _render(cornell32, spp=4, seed=7)

@@ -77,9 +77,12 @@ def test_mitchell_partition():
 
 def test_filter_importance_sampling_matches_distribution():
     for kind, radius in [(filters.TRIANGLE, 1.5), (filters.GAUSSIAN, 2.0)]:
-        inv = filters.make_filter_cdf(kind, radius)
+        table = filters.make_filter_cdf(kind, radius)
+        assert not table.weighted  # non-negative filters carry weight 1
         u = jnp.asarray(np.random.default_rng(0).random(1 << 16, np.float32))
-        xs = np.asarray(filters.sample_filter_offset(inv, u))
+        xs, w = filters.sample_filter_offset(table, u)
+        xs = np.asarray(xs)
+        assert w is None
         assert np.abs(xs).max() <= radius + 1e-4
         # Histogram should match the normalized filter profile.
         hist, edges = np.histogram(xs, bins=32, range=(-radius, radius),
@@ -92,8 +95,37 @@ def test_filter_importance_sampling_matches_distribution():
 
 
 def test_box_filter_sampling_uniform():
-    inv = filters.make_filter_cdf(filters.BOX, 0.5)
-    u = jnp.asarray(np.linspace(0, 1, 101, dtype=np.float32))
-    xs = np.asarray(filters.sample_filter_offset(inv, u))
+    table = filters.make_filter_cdf(filters.BOX, 0.5)
+    u = jnp.asarray(np.linspace(0, 0.999999, 101, dtype=np.float32))
+    xs, _ = filters.sample_filter_offset(table, u)
+    xs = np.asarray(xs)
     np.testing.assert_allclose(xs[0], -0.5, atol=0.02)
     np.testing.assert_allclose(xs[-1], 0.5, atol=0.02)
+
+
+def test_mitchell_weighted_fis_reconstructs_true_filter():
+    # Weighted FIS must reproduce the *signed* Mitchell kernel: the weighted
+    # histogram of samples converges to f/∫f (negative lobes included),
+    # which the old |f|-clamped scheme cannot produce. [ADVICE r1 #3]
+    radius = 2.0
+    table = filters.make_filter_cdf(filters.MITCHELL, radius)
+    assert table.weighted
+    u = jnp.asarray(np.random.default_rng(1).random(1 << 18, np.float32))
+    xs, w = filters.sample_filter_offset(table, u)
+    xs, w = np.asarray(xs), np.asarray(w)
+    assert (w < 0).any(), "negative lobes must yield negative weights"
+    # E[w] == 1 (the film normalization invariant).
+    np.testing.assert_allclose(w.mean(), 1.0, atol=5e-3)
+    # Weighted density matches the signed filter, negative lobes included.
+    hist, edges = np.histogram(xs, bins=40, range=(-radius, radius),
+                               weights=w)
+    hist = hist / (len(xs) * (edges[1] - edges[0]))
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    f = filters.eval_filter_1d(filters.MITCHELL, radius, centers)
+    xs_fine = np.linspace(-radius, radius, 4096)
+    f_norm = np.trapezoid(
+        filters.eval_filter_1d(filters.MITCHELL, radius, xs_fine), xs_fine
+    )
+    f = f / f_norm
+    assert (f < 0).any()
+    np.testing.assert_allclose(hist, f, atol=0.02)
