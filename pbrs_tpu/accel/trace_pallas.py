@@ -35,6 +35,11 @@ LANES = 128
 # rays' subtrees, which approaches the whole tree, while brute force is
 # pure VPU throughput. SMEM bank at 4096 prims = 16*4*4096 = 256 KB.
 BVH_THRESHOLD = 4096
+# Per-family prim count above which the treelet MXU-gather tracer
+# (accel/treelet.py) takes over from the flat sweep. Crossover measured on
+# v5e: flat sweep ~20 Mrays/s at 1k prims and falls linearly; the treelet
+# tracer holds 10-30 Mrays/s nearly independent of prim count.
+TREELET_THRESHOLD = 1024
 BLOCK_ROWS = 64  # 64 x 128 = 8192 rays per tile
 T_MIN = ray_mod.T_MIN
 BIG = 3.0e38
@@ -268,15 +273,17 @@ def _trace_padded(params, ox, oy, oz, dx, dy, dz, tmax, counts,
 class PallasTracer:
     """Closest-hit / any-hit queries against a GeometryTables snapshot.
 
-    Triangles above BVH_THRESHOLD are handled by the packet-BVH kernel
-    (accel/mesh_pallas.py); small tables go through the flat prim loop."""
+    Families above TREELET_THRESHOLD are handled by the treelet MXU-gather
+    tracer (accel/treelet.py); small tables go through the flat prim loop."""
 
     def __init__(self, geom: GeometryTables, interpret: bool = False,
                  bvh_threshold: int | None = None):
+        from . import treelet as tl
+
         self.params, self.counts = prim_scalars(geom)
         self.geom = geom
         self.interpret = interpret
-        thresh = BVH_THRESHOLD if bvh_threshold is None else bvh_threshold
+        thresh = TREELET_THRESHOLD if bvh_threshold is None else bvh_threshold
         n_sph, n_quad, n_tri, n_disk = self.counts
         base_sph = 0
         base_quad = n_sph
@@ -284,45 +291,30 @@ class PallasTracer:
         base_disk = n_sph + n_quad + n_tri
         self.bvhs = []
         do = [True, True, True, True]
-        mp = mesh_pallas
         if n_sph > thresh:
-            c = np.asarray(geom.sph_center)
-            r = np.asarray(geom.sph_radius)
-            gid = (base_sph + np.arange(n_sph)).astype(np.float32)
-            lo = c - r[:, None]
-            hi = c + r[:, None]
-            self.bvhs.append(mp.PrimBVHTracer(
-                mp.KIND_SPHERE, mp.sphere_slot_cols(c, r, gid), lo, hi,
-                interpret=interpret,
-            ))
+            self.bvhs.append(tl.sphere_tracer(
+                geom.sph_center, geom.sph_radius, base_sph,
+                interpret=interpret))
             do[0] = False
         if n_quad > thresh:
-            o = np.asarray(geom.quad_origin)
-            u = np.asarray(geom.quad_u)
-            v = np.asarray(geom.quad_v)
-            gid = (base_quad + np.arange(n_quad)).astype(np.float32)
-            corners = np.stack([o, o + u, o + v, o + u + v])
-            self.bvhs.append(mp.PrimBVHTracer(
-                mp.KIND_QUAD, mp.quad_slot_cols(o, u, v, gid),
-                corners.min(0), corners.max(0), interpret=interpret,
-            ))
+            self.bvhs.append(tl.quad_tracer(
+                geom.quad_origin, geom.quad_u, geom.quad_v, base_quad,
+                interpret=interpret))
             do[1] = False
         if n_tri > thresh:
-            p0 = np.asarray(geom.tri_p0)
-            p1 = np.asarray(geom.tri_p1)
-            p2 = np.asarray(geom.tri_p2)
-            gid = (base_tri + np.arange(n_tri)).astype(np.float32)
-            lo, hi = (np.minimum(np.minimum(p0, p1), p2),
-                      np.maximum(np.maximum(p0, p1), p2))
-            self.bvhs.append(mp.PrimBVHTracer(
-                mp.KIND_TRI, mp.tri_slot_cols(p0, p1, p2, gid), lo, hi,
-                interpret=interpret,
-            ))
+            self.bvhs.append(tl.tri_tracer(
+                geom.tri_p0, geom.tri_p1, geom.tri_p2, base_tri,
+                interpret=interpret))
             do[2] = False
+        if n_disk > thresh:
+            self.bvhs.append(tl.disk_tracer(
+                geom.disk_center, geom.disk_normal, geom.disk_radial,
+                base_disk, interpret=interpret))
+            do[3] = False
         self.do_types = tuple(do)
-        # Kept for tests/back-compat: the triangle BVH if one exists.
+        # Kept for tests/back-compat: the triangle tracer if one exists.
         self.mesh = next(
-            (b for b in self.bvhs if b.kind == mp.KIND_TRI), None
+            (b for b in self.bvhs if b.kind == tl.KIND_TRI), None
         )
         if not all(do):
             self.params, _ = prim_scalars(geom, include=self.do_types)

@@ -46,6 +46,7 @@ RAYS = 1024  # rays per batch row (lane dimension)
 SUBROWS = 8  # batch rows per kernel block (sublane-divisibility)
 BLOCK_RAYS = RAYS * SUBROWS
 TREELET = 64  # primitive slots per treelet
+CHUNK = 128  # compacted gather width (columns per treelet group)
 T_MIN = ray_mod.T_MIN
 BIG = 3.0e38
 INT_MAX = np.int32(2**31 - 1)
@@ -99,12 +100,13 @@ FIELD_BUILDERS = {
 
 
 def build_treelets(kind, fields, bbox_lo, bbox_hi, treelet=TREELET,
-                   max_t=4096):
-    """Host build: SAH-cut treelets + field-major gather table.
+                   max_t=16384):
+    """Host build: SAH-cut treelets + chunked field-major gather tables.
 
     fields: [P, F] per-prim field rows (from FIELD_BUILDERS, gid included).
-    Returns (boxes_lo [T,3], boxes_hi [T,3], table_splits 3x[F*treelet, T],
-    T_padded, id_mask_bits).
+    Returns (boxes [T_pad, 8] f32 — cols xlo,ylo,zlo,xhi,yhi,zhi,0,0 with
+    treelets along sublanes; table_splits 3 x [n_chunks, F*treelet, CHUNK]
+    bf16 (HBM-resident, DMA'd per visited chunk); n_chunks; T_count).
     """
     fields = np.asarray(fields, np.float32)
     p, nf = fields.shape
@@ -113,28 +115,36 @@ def build_treelets(kind, fields, bbox_lo, bbox_hi, treelet=TREELET,
     leaf_ids = np.where(bvh.is_leaf > 0)[0]
     t_count = len(leaf_ids)
     assert t_count <= max_t, f"{t_count} treelets exceeds cap {max_t}"
-    # Pad T to a multiple of 128 (MXU contraction dim + key-matrix sublanes).
-    t_pad = max(128, -(-t_count // 128) * 128)
-    id_bits = 1
-    while (1 << id_bits) < t_pad:
-        id_bits += 1
+    # Leaf order is the builder's DFS emit order == spatial locality, so
+    # consecutive treelets land in the same chunk.
+    t_pad = max(CHUNK, -(-t_count // CHUNK) * CHUNK)
+    n_chunks = t_pad // CHUNK
 
     tbl = np.zeros((nf * treelet, t_pad), np.float32)
-    blo = np.full((t_pad, 3), BIG, np.float32)
-    bhi = np.full((t_pad, 3), -BIG, np.float32)
+    boxes = np.zeros((t_pad, 8), np.float32)
+    boxes[:, 0:3] = BIG
+    boxes[:, 3:6] = -BIG
     order = bvh.prim_order
     for col, node in enumerate(leaf_ids):
         f, c = bvh.first[node], bvh.count[node]
         rows = fields[order[f:f + c]]  # [c, F]
         # field-major: row k*treelet + j = field k of slot j
         tbl[:, col].reshape(nf, treelet)[:, :c] = rows.T
-        blo[col] = bvh.bbox_min[node]
-        bhi[col] = bvh.bbox_max[node]
+        boxes[col, 0:3] = bvh.bbox_min[node]
+        boxes[col, 3:6] = bvh.bbox_max[node]
     hi, mid, lo = _split3(tbl)
+
+    def chunked(a):
+        # [F*treelet, t_pad] -> [n_chunks, F*treelet, CHUNK]
+        a = np.asarray(a)
+        return jnp.asarray(
+            np.ascontiguousarray(
+                a.reshape(a.shape[0], n_chunks, CHUNK).transpose(1, 0, 2)))
+
     return (
-        jnp.asarray(blo), jnp.asarray(bhi),
-        (jnp.asarray(hi), jnp.asarray(mid), jnp.asarray(lo)),
-        t_pad, id_bits,
+        jnp.asarray(boxes),
+        (chunked(hi), chunked(mid), chunked(lo)),
+        n_chunks, t_count,
     )
 
 
@@ -240,21 +250,38 @@ def _test_prims(kind, g, nf, rox, roy, roz, rdx, rdy, rdz, t_max):
     return t, ok, gid
 
 
-def _treelet_kernel(blo_ref, bhi_ref, hi_ref, mid_ref, lo_ref,
+LOCAL_BITS = 7  # log2(CHUNK): low key bits carry the in-chunk treelet id
+LOCAL_MASK = np.int32((1 << LOCAL_BITS) - 1)
+
+
+def _treelet_kernel(boxes_ref, hi_ref, mid_ref, lo_ref,
                     ox, oy, oz, dx, dy, dz, tmax,
-                    t_out, idx_out, *, kind, t_pad, id_bits, any_hit):
+                    t_out, idx_out, tc_hi, tc_mid, tc_lo, sems, *,
+                    kind, n_chunks, t_count, any_hit):
     # Blocks are [SUBROWS, RAYS]; each sublane row is an independent batch
     # of RAYS rays (TPU block shapes must be sublane-divisible).
     for r in range(SUBROWS):
-        _treelet_row(blo_ref, bhi_ref, hi_ref, mid_ref, lo_ref,
+        _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
                      ox, oy, oz, dx, dy, dz, tmax, t_out, idx_out,
-                     r, kind=kind, t_pad=t_pad, id_bits=id_bits,
+                     tc_hi, tc_mid, tc_lo, sems,
+                     r, kind=kind, n_chunks=n_chunks, t_count=t_count,
                      any_hit=any_hit)
 
 
-def _treelet_row(blo_ref, bhi_ref, hi_ref, mid_ref, lo_ref,
+def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
                  ox, oy, oz, dx, dy, dz, tmax,
-                 t_out, idx_out, r, *, kind, t_pad, id_bits, any_hit):
+                 t_out, idx_out, tc_hi, tc_mid, tc_lo, sems,
+                 r, *, kind, n_chunks, t_count, any_hit):
+    """Trace 1024 rays (row r of the block) against all chunks.
+
+    Phase 1 computes, per chunk, each lane's min traversal key (a float
+    t_enter lower bound with the in-chunk treelet id in the low 7 bits).
+    The outer loop walks chunks in DFS (spatial) order, skipping any chunk
+    whose best key cannot beat the lane's current hit; a visited chunk's
+    three table splits are DMA'd from HBM into VMEM scratch, then the inner
+    loop lets every lane pull its treelets strictly in t-lower-bound order
+    (one MXU one-hot gather per round) until no lane can improve.
+    """
     nf = N_FIELDS[kind]
     rox, roy, roz = ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :]  # [1, RAYS]
     rdx, rdy, rdz = dx[r:r+1, :], dy[r:r+1, :], dz[r:r+1, :]
@@ -263,68 +290,67 @@ def _treelet_row(blo_ref, bhi_ref, hi_ref, mid_ref, lo_ref,
     inv_y = 1.0 / jnp.where(rdy == 0.0, 1e-30, rdy)
     inv_z = 1.0 / jnp.where(rdz == 0.0, 1e-30, rdz)
 
-    # ---- phase 1: all treelet boxes vs all rays -> int32 sort keys ----
-    bxl = blo_ref[:, 0:1]  # [T, 1]
-    byl = blo_ref[:, 1:2]
-    bzl = blo_ref[:, 2:3]
-    bxh = bhi_ref[:, 0:1]
-    byh = bhi_ref[:, 1:2]
-    bzh = bhi_ref[:, 2:3]
-    tx0 = (bxl - rox) * inv_x  # [T, RAYS]
-    tx1 = (bxh - rox) * inv_x
-    ty0 = (byl - roy) * inv_y
-    ty1 = (byh - roy) * inv_y
-    tz0 = (bzl - roz) * inv_z
-    tz1 = (bzh - roz) * inv_z
-    t_enter = jnp.maximum(
-        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-        jnp.minimum(tz0, tz1))
-    t_exit = jnp.minimum(
-        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-        jnp.maximum(tz0, tz1))
-    hit_box = (t_enter <= t_exit) & (t_exit >= T_MIN) & (t_enter < t_max)
-    # Key: positive-float bits with the low id_bits replaced by the treelet
-    # id — int-comparable, strictly distinct, and a conservative *lower*
-    # bound of t_enter (cleared bits only decrease the float).
-    te = jnp.clip(t_enter, 0.0, BIG)
-    tid = jax.lax.broadcasted_iota(jnp.int32, (t_pad, RAYS), 0)
-    mask = jnp.int32((1 << id_bits) - 1)
-    kbits = jax.lax.bitcast_convert_type(te, jnp.int32)
-    keys = jnp.where(hit_box, (kbits & ~mask) | tid, INT_MAX)
+    def chunk_keys(boxes, base):
+        """Slab-test one chunk's boxes -> int32 traversal keys [C, RAYS].
+
+        boxes: [CHUNK, 8] (xlo,ylo,zlo,xhi,yhi,zhi,_,_). Key = bits of the
+        clipped t_enter with the low LOCAL_BITS replaced by the in-chunk
+        treelet id — int-comparable, distinct, and a conservative *lower*
+        bound of t_enter (clearing mantissa bits only decreases the float).
+        """
+        tx0 = (boxes[:, 0:1] - rox) * inv_x  # [C, RAYS]
+        tx1 = (boxes[:, 3:4] - rox) * inv_x
+        ty0 = (boxes[:, 1:2] - roy) * inv_y
+        ty1 = (boxes[:, 4:5] - roy) * inv_y
+        tz0 = (boxes[:, 2:3] - roz) * inv_z
+        tz1 = (boxes[:, 5:6] - roz) * inv_z
+        t_enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1))
+        t_exit = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1))
+        lid = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, RAYS), 0)
+        # Padding columns (bbox +BIG/-BIG) can pass the slab test through
+        # f32 overflow (inf*x) — mask them out explicitly.
+        hit_box = ((t_enter <= t_exit) & (t_exit >= T_MIN)
+                   & (t_enter < t_max) & (base + lid < t_count))
+        te = jnp.clip(t_enter, 0.0, BIG)
+        kbits = jax.lax.bitcast_convert_type(te, jnp.int32)
+        return jnp.where(hit_box, (kbits & ~LOCAL_MASK) | lid, INT_MAX)
+
+    # ---- phase 1: per-chunk, per-lane min key (chunk skip bounds) ----
+    mins = []
+    for kk in range(n_chunks):
+        keys_kk = chunk_keys(boxes_ref[kk*CHUNK:(kk+1)*CHUNK, :], kk * CHUNK)
+        mins.append(jnp.min(keys_kk, axis=0, keepdims=True))
+    chunkmins = jnp.concatenate(mins, axis=0) if n_chunks > 1 else mins[0]
 
     t_best0 = jnp.full((1, RAYS), BIG, jnp.float32)
     idx0 = jnp.full((1, RAYS), -1, jnp.int32)
+    crow = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, RAYS), 0)
 
-    def cond(state):
-        keys, t_best, idx_best = state
-        kmin = jnp.min(keys, axis=0, keepdims=True)
-        t_lb = jax.lax.bitcast_convert_type(kmin & ~mask, jnp.float32)
+    def lane_alive(kmin, t_best, idx_best):
+        t_lb = jax.lax.bitcast_convert_type(kmin & ~LOCAL_MASK, jnp.float32)
         alive = (kmin != INT_MAX) & (t_lb < t_best)
         if any_hit:
             alive = alive & (idx_best < 0)
-        return jnp.sum(alive.astype(jnp.float32)) > 0.0
+        return alive
 
-    def body(state):
-        keys, t_best, idx_best = state
-        kmin = jnp.min(keys, axis=0, keepdims=True)  # [1, RAYS]
-        t_lb = jax.lax.bitcast_convert_type(kmin & ~mask, jnp.float32)
-        alive = (kmin != INT_MAX) & (t_lb < t_best)
-        if any_hit:
-            alive = alive & (idx_best < 0)
-        onehot = (keys == kmin) & alive  # [T, RAYS]
-        keys = jnp.where(onehot, INT_MAX, keys)
-        oh = onehot.astype(jnp.bfloat16)
-        # bf16 matmul outputs are exact here: each one-hot column selects a
-        # single bf16 table entry (sum of one term), so the bf16 result IS
-        # that entry; the f32 sum of the three splits reconstructs the
-        # original f32 bit-exactly.
-        # precision=DEFAULT overrides the package-wide "highest" matmul
-        # precision: one-pass bf16 is exact here and Mosaic rejects
-        # fp32-contract matmuls with bf16 operands.
-        prec = jax.lax.Precision.DEFAULT
-        g = jnp.dot(hi_ref[...], oh, precision=prec).astype(jnp.float32)
-        g = g + jnp.dot(mid_ref[...], oh, precision=prec).astype(jnp.float32)
-        g = g + jnp.dot(lo_ref[...], oh, precision=prec).astype(jnp.float32)
+    # bf16 one-hot matmuls are exact here: each one-hot column selects a
+    # single bf16 table entry (a sum with one nonzero term), so the
+    # f32-accumulated result IS that entry, and the f32 sum of the three
+    # splits reconstructs the original f32 bit-exactly. precision=DEFAULT
+    # overrides the package-wide "highest" matmul precision (one-pass bf16
+    # is already exact); Mosaic requires the 32-bit accumulator.
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+
+    def resolve(alive, g, t_best, idx_best):
+        """Dense prim test of the gathered treelet + best-hit update."""
         t_c, ok, gid = _test_prims(
             kind, g, nf, rox, roy, roz, rdx, rdy, rdz, t_max)
         t_c = jnp.where(ok & alive, t_c, BIG)
@@ -335,38 +361,100 @@ def _treelet_row(blo_ref, bhi_ref, hi_ref, mid_ref, lo_ref,
         closer = tmin < t_best
         t_best = jnp.where(closer, tmin, t_best)
         idx_best = jnp.where(closer, gid_sel, idx_best)
-        return keys, t_best, idx_best
+        return t_best, idx_best
+
+    def outer_cond(state):
+        k, t_best, idx_best = state
+        rem = jnp.min(jnp.where(crow >= k, chunkmins, INT_MAX),
+                      axis=0, keepdims=True)
+        alive = lane_alive(rem, t_best, idx_best)
+        return jnp.sum(alive.astype(jnp.float32)) > 0.0
+
+    def outer_body(state):
+        k, t_best, idx_best = state
+        this = jnp.min(jnp.where(crow == k, chunkmins, INT_MAX),
+                       axis=0, keepdims=True)
+        want = lane_alive(this, t_best, idx_best)
+        skip = jnp.sum(want.astype(jnp.float32)) == 0.0
+
+        def visit(t_best, idx_best):
+            # DMA this chunk's three table splits HBM -> VMEM scratch.
+            cp_hi = pltpu.make_async_copy(hi_ref.at[k], tc_hi, sems.at[0])
+            cp_mid = pltpu.make_async_copy(mid_ref.at[k], tc_mid, sems.at[1])
+            cp_lo = pltpu.make_async_copy(lo_ref.at[k], tc_lo, sems.at[2])
+            cp_hi.start()
+            cp_mid.start()
+            cp_lo.start()
+            keys_c = chunk_keys(boxes_ref[pl.ds(k * CHUNK, CHUNK), :],
+                                k * CHUNK)
+            cp_hi.wait()
+            cp_mid.wait()
+            cp_lo.wait()
+
+            def cond(istate):
+                keys_c, t_best, idx_best = istate
+                kmin = jnp.min(keys_c, axis=0, keepdims=True)
+                alive = lane_alive(kmin, t_best, idx_best)
+                return jnp.sum(alive.astype(jnp.float32)) > 0.0
+
+            def body(istate):
+                keys_c, t_best, idx_best = istate
+                kmin = jnp.min(keys_c, axis=0, keepdims=True)  # [1, RAYS]
+                alive = lane_alive(kmin, t_best, idx_best)
+                onehot = (keys_c == kmin) & alive  # [C, RAYS]
+                keys_c = jnp.where(onehot, INT_MAX, keys_c)
+                oh = onehot.astype(jnp.bfloat16)
+                g = (mm(tc_hi[...], oh) + mm(tc_mid[...], oh)
+                     + mm(tc_lo[...], oh))
+                t_best, idx_best = resolve(alive, g, t_best, idx_best)
+                return keys_c, t_best, idx_best
+
+            _, t_best, idx_best = jax.lax.while_loop(
+                cond, body, (keys_c, t_best, idx_best))
+            return t_best, idx_best
+
+        t_best, idx_best = jax.lax.cond(
+            skip, lambda a, b: (a, b), visit, t_best, idx_best)
+        return k + 1, t_best, idx_best
 
     _, t_best, idx_best = jax.lax.while_loop(
-        cond, body, (keys, t_best0, idx0))
+        outer_cond, outer_body, (jnp.int32(0), t_best0, idx0))
     miss = t_best >= BIG
     t_out[r:r+1, :] = jnp.where(miss, jnp.inf, t_best)
     idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "t_pad", "id_bits",
-                                             "any_hit", "interpret"))
-def _trace_blocks(blo, bhi, splits, ray_comps, kind, t_pad, id_bits,
-                  any_hit=False, interpret=False):
+@functools.partial(jax.jit, static_argnames=("kind", "n_chunks", "t_count",
+                                             "nf", "treelet", "any_hit",
+                                             "interpret"))
+def _trace_blocks(boxes, splits, ray_comps, kind, n_chunks, t_count,
+                  nf, treelet, any_hit=False, interpret=False):
     blocks = ray_comps[0].shape[0] // SUBROWS
     kernel = functools.partial(
-        _treelet_kernel, kind=kind, t_pad=t_pad, id_bits=id_bits,
+        _treelet_kernel, kind=kind, n_chunks=n_chunks, t_count=t_count,
         any_hit=any_hit)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    anym = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
     rblk = lambda: pl.BlockSpec((SUBROWS, RAYS), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
     rows = blocks * SUBROWS
     return pl.pallas_call(
         kernel,
         grid=(blocks,),
-        in_specs=[vmem()] * 5 + [rblk()] * 7,
+        in_specs=[vmem()] + [anym()] * 3 + [rblk()] * 7,
         out_specs=(rblk(), rblk()),
         out_shape=(
             jax.ShapeDtypeStruct((rows, RAYS), jnp.float32),
             jax.ShapeDtypeStruct((rows, RAYS), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((nf * treelet, CHUNK), jnp.bfloat16),
+            pltpu.VMEM((nf * treelet, CHUNK), jnp.bfloat16),
+            pltpu.VMEM((nf * treelet, CHUNK), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
         interpret=interpret,
-    )(blo, bhi, *splits, *ray_comps)
+    )(boxes, *splits, *ray_comps)
 
 
 class TreeletTracer:
@@ -376,9 +464,11 @@ class TreeletTracer:
                  treelet=TREELET):
         self.kind = kind
         self.interpret = interpret
-        (self.blo, self.bhi, self.splits, self.t_pad,
-         self.id_bits) = build_treelets(
+        self.treelet = treelet
+        (self.boxes, self.splits, self.n_chunks,
+         self.t_count) = build_treelets(
             kind, fields, bbox_lo, bbox_hi, treelet=treelet)
+        self.t_pad = self.n_chunks * CHUNK
 
     def _components(self, rays):
         n = rays.origin.shape[0]
@@ -398,8 +488,9 @@ class TreeletTracer:
     def trace(self, rays, any_hit=False):
         comps, n = self._components(rays)
         t, idx = _trace_blocks(
-            self.blo, self.bhi, self.splits, tuple(comps),
-            kind=self.kind, t_pad=self.t_pad, id_bits=self.id_bits,
+            self.boxes, self.splits, tuple(comps),
+            kind=self.kind, n_chunks=self.n_chunks, t_count=self.t_count,
+            nf=N_FIELDS[self.kind], treelet=self.treelet,
             any_hit=any_hit, interpret=self.interpret)
         return t.reshape(-1)[:n], idx.reshape(-1)[:n]
 
@@ -412,3 +503,33 @@ def tri_tracer(p0, p1, p2, global_base, interpret=False, treelet=TREELET):
     lo, hi = bvh_mod.triangle_bboxes(p0, p1, p2)
     return TreeletTracer(KIND_TRI, _tri_fields(p0, p1, p2, gid), lo, hi,
                          interpret=interpret, treelet=treelet)
+
+
+def sphere_tracer(c, r, global_base, interpret=False, treelet=TREELET):
+    c = np.asarray(c, np.float32)
+    r = np.asarray(r, np.float32)
+    gid = (global_base + np.arange(c.shape[0])).astype(np.float32)
+    lo, hi = c - r[:, None], c + r[:, None]
+    return TreeletTracer(KIND_SPHERE, _sphere_fields(c, r, gid), lo, hi,
+                         interpret=interpret, treelet=treelet)
+
+
+def quad_tracer(o, u, v, global_base, interpret=False, treelet=TREELET):
+    o = np.asarray(o, np.float32)
+    u = np.asarray(u, np.float32)
+    v = np.asarray(v, np.float32)
+    gid = (global_base + np.arange(o.shape[0])).astype(np.float32)
+    corners = np.stack([o, o + u, o + v, o + u + v])
+    return TreeletTracer(KIND_QUAD, _quad_fields(o, u, v, gid),
+                         corners.min(0), corners.max(0),
+                         interpret=interpret, treelet=treelet)
+
+
+def disk_tracer(c, n, radial, global_base, interpret=False, treelet=TREELET):
+    c = np.asarray(c, np.float32)
+    n = np.asarray(n, np.float32)
+    radial = np.asarray(radial, np.float32)
+    gid = (global_base + np.arange(c.shape[0])).astype(np.float32)
+    r = np.sqrt((radial * radial).sum(1, keepdims=True))
+    return TreeletTracer(KIND_DISK, _disk_fields(c, n, radial, gid),
+                         c - r, c + r, interpret=interpret, treelet=treelet)
