@@ -53,7 +53,10 @@ INT_MAX = np.int32(2**31 - 1)
 
 KIND_TRI, KIND_QUAD, KIND_SPHERE, KIND_DISK = 0, 1, 2, 3
 # Field counts per primitive kind (field-major blocks of TREELET rows).
-N_FIELDS = {KIND_TRI: 13, KIND_QUAD: 13, KIND_SPHERE: 5, KIND_DISK: 8}
+# Field counts per primitive kind. Normals are derived in-kernel (cross
+# products are cheap VPU work; gather rows are the expensive resource) and
+# prim identity comes from the (treelet, slot) coordinates, not a field.
+N_FIELDS = {KIND_TRI: 9, KIND_QUAD: 9, KIND_SPHERE: 4, KIND_DISK: 7}
 
 
 def _split3(x: np.ndarray):
@@ -70,25 +73,21 @@ def _split3(x: np.ndarray):
     return hi, mid, lo
 
 
-def _tri_fields(p0, p1, p2, gid):
-    n = np.cross(p0 - p1, p2 - p1)
-    ln = np.linalg.norm(n, axis=1, keepdims=True)
-    n = np.where(ln > 0, n / np.maximum(ln, 1e-30), 0.0)
-    return np.concatenate([p0, p1, p2, n, gid[:, None]], 1).astype(np.float32)
+def _tri_fields(p0, p1, p2):
+    return np.concatenate([p0, p1, p2], 1).astype(np.float32)
 
 
-def _quad_fields(o, eu, ev, gid):
-    n = np.cross(eu, ev)
-    return np.concatenate([o, eu, ev, n, gid[:, None]], 1).astype(np.float32)
+def _quad_fields(o, eu, ev):
+    return np.concatenate([o, eu, ev], 1).astype(np.float32)
 
 
-def _sphere_fields(c, r, gid):
-    return np.concatenate([c, r[:, None], gid[:, None]], 1).astype(np.float32)
+def _sphere_fields(c, r):
+    return np.concatenate([c, r[:, None]], 1).astype(np.float32)
 
 
-def _disk_fields(c, n, radial, gid):
+def _disk_fields(c, n, radial):
     r2 = (radial * radial).sum(1, keepdims=True)
-    return np.concatenate([c, n, r2, gid[:, None]], 1).astype(np.float32)
+    return np.concatenate([c, n, r2], 1).astype(np.float32)
 
 
 FIELD_BUILDERS = {
@@ -106,17 +105,32 @@ def build_treelets(kind, fields, bbox_lo, bbox_hi, treelet=TREELET,
     fields: [P, F] per-prim field rows (from FIELD_BUILDERS, gid included).
     Returns (boxes [T_pad, 8] f32 — cols xlo,ylo,zlo,xhi,yhi,zhi,0,0 with
     treelets along sublanes; table_splits 3 x [n_chunks, F*treelet, CHUNK]
-    bf16 (HBM-resident, DMA'd per visited chunk); n_chunks; T_count).
+    bf16 (HBM-resident, DMA'd per visited chunk); n_chunks; T_count;\n    slot_prim [T_pad*treelet] i32 mapping packed (treelet,slot) -> prim row).
     """
     fields = np.asarray(fields, np.float32)
     p, nf = fields.shape
     assert nf == N_FIELDS[kind]
     bvh = bvh_mod.build_bvh(bbox_lo, bbox_hi, max_leaf=treelet)
     leaf_ids = np.where(bvh.is_leaf > 0)[0]
-    t_count = len(leaf_ids)
-    assert t_count <= max_t, f"{t_count} treelets exceeds cap {max_t}"
+    order = bvh.prim_order
     # Leaf order is the builder's DFS emit order == spatial locality, so
-    # consecutive treelets land in the same chunk.
+    # consecutive treelets land in the same chunk. SAH leaves average ~70%
+    # fill; greedily merging *adjacent* leaves (their prim_order ranges are
+    # contiguous in DFS) packs treelets fuller -> fewer gather rounds, at a
+    # small bbox-union cost.
+    leaves = []  # (first, count, bbmin, bbmax)
+    for node in leaf_ids:
+        f, c = int(bvh.first[node]), int(bvh.count[node])
+        lo_, hi_ = bvh.bbox_min[node], bvh.bbox_max[node]
+        if (leaves and leaves[-1][1] + c <= treelet
+                and leaves[-1][0] + leaves[-1][1] == f):
+            pf, pc, plo, phi = leaves[-1]
+            leaves[-1] = (pf, pc + c, np.minimum(plo, lo_),
+                          np.maximum(phi, hi_))
+        else:
+            leaves.append((f, c, lo_, hi_))
+    t_count = len(leaves)
+    assert t_count <= max_t, f"{t_count} treelets exceeds cap {max_t}"
     t_pad = max(CHUNK, -(-t_count // CHUNK) * CHUNK)
     n_chunks = t_pad // CHUNK
 
@@ -124,14 +138,14 @@ def build_treelets(kind, fields, bbox_lo, bbox_hi, treelet=TREELET,
     boxes = np.zeros((t_pad, 8), np.float32)
     boxes[:, 0:3] = BIG
     boxes[:, 3:6] = -BIG
-    order = bvh.prim_order
-    for col, node in enumerate(leaf_ids):
-        f, c = bvh.first[node], bvh.count[node]
+    slot_prim = np.full(t_pad * treelet, -1, np.int32)
+    for col, (f, c, lo_, hi_) in enumerate(leaves):
         rows = fields[order[f:f + c]]  # [c, F]
         # field-major: row k*treelet + j = field k of slot j
         tbl[:, col].reshape(nf, treelet)[:, :c] = rows.T
-        boxes[col, 0:3] = bvh.bbox_min[node]
-        boxes[col, 3:6] = bvh.bbox_max[node]
+        slot_prim[col * treelet:col * treelet + c] = order[f:f + c]
+        boxes[col, 0:3] = lo_
+        boxes[col, 3:6] = hi_
     hi, mid, lo = _split3(tbl)
 
     def chunked(a):
@@ -141,10 +155,13 @@ def build_treelets(kind, fields, bbox_lo, bbox_hi, treelet=TREELET,
             np.ascontiguousarray(
                 a.reshape(a.shape[0], n_chunks, CHUNK).transpose(1, 0, 2)))
 
+    world_lo = np.min([l[2] for l in leaves], axis=0)
+    world_hi = np.max([l[3] for l in leaves], axis=0)
     return (
         jnp.asarray(boxes),
         (chunked(hi), chunked(mid), chunked(lo)),
-        n_chunks, t_count,
+        n_chunks, t_count, jnp.asarray(slot_prim),
+        (world_lo, world_hi),
     )
 
 
@@ -154,13 +171,16 @@ def build_treelets(kind, fields, bbox_lo, bbox_hi, treelet=TREELET,
 # accel/mesh_pallas.py / the reference shape/src/simple.rs.
 # ---------------------------------------------------------------------------
 
-def _test_prims(kind, g, nf, rox, roy, roz, rdx, rdy, rdz, t_max):
-    """g: gathered [nf*TREELET, RAYS] f32. Returns (t [64,R], ok [64,R],
-    gid [64,R] f32)."""
-    f = lambda k: g[k * TREELET:(k + 1) * TREELET]
+def _test_prims(kind, g, nf, treelet, rox, roy, roz, rdx, rdy, rdz, t_max):
+    """g: gathered [nf*treelet, RAYS] f32. Returns (t [treelet,R], ok).
+
+    Normals for planar prims are derived in-kernel by cross products: they
+    drop out of scale in every test below (plane t and signed-area signs are
+    scale-invariant), and all-zero padding slots yield zero normals ->
+    denom == 0 -> never pass."""
+    f = lambda k: g[k * treelet:(k + 1) * treelet]
     if kind == KIND_SPHERE:
         cx, cy, cz, r = f(0), f(1), f(2), f(3)
-        gid = f(4)
         fx, fy, fz = rox - cx, roy - cy, roz - cz
         a = rdx * rdx + rdy * rdy + rdz * rdz
         b_pr = -(fx * rdx + fy * rdy + fz * rdz)
@@ -181,13 +201,14 @@ def _test_prims(kind, g, nf, rox, roy, roz, rdx, rdy, rdz, t_max):
         lo_ok = ok0 & (t_lo_ >= T_MIN) & (t_lo_ < t_max)
         t = jnp.where(lo_ok, t_lo_, t_hi_)
         ok = ok0 & (t >= T_MIN) & (t < t_max)
-        return t, ok, gid
+        return t, ok
     if kind == KIND_QUAD:
         ox_, oy_, oz_ = f(0), f(1), f(2)
         ux, uy, uz = f(3), f(4), f(5)
         vx, vy, vz = f(6), f(7), f(8)
-        nx, ny, nz = f(9), f(10), f(11)
-        gid = f(12)
+        nx = uy * vz - uz * vy
+        ny = uz * vx - ux * vz
+        nz = ux * vy - uy * vx
         n2 = jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
         denom = rdx * nx + rdy * ny + rdz * nz
         denom_s = jnp.where(denom == 0.0, 1.0, denom)
@@ -205,12 +226,11 @@ def _test_prims(kind, g, nf, rox, roy, roz, rdx, rdy, rdz, t_max):
         vv = (cx * nx + cy * ny + cz * nz) / n2
         ok = ((denom != 0.0) & (uu >= 0.0) & (uu <= 1.0)
               & (vv >= 0.0) & (vv <= 1.0) & (t >= T_MIN) & (t < t_max))
-        return t, ok, gid
+        return t, ok
     if kind == KIND_DISK:
         cx_, cy_, cz_ = f(0), f(1), f(2)
         nx, ny, nz = f(3), f(4), f(5)
         r2 = f(6)
-        gid = f(7)
         denom = rdx * nx + rdy * ny + rdz * nz
         denom_s = jnp.where(denom == 0.0, 1.0, denom)
         t = ((cx_ - rox) * nx + (cy_ - roy) * ny + (cz_ - roz) * nz) / denom_s
@@ -219,35 +239,33 @@ def _test_prims(kind, g, nf, rox, roy, roz, rdx, rdy, rdz, t_max):
         hz = roz + t * rdz - cz_
         ok = ((denom != 0.0) & (hx * hx + hy * hy + hz * hz <= r2)
               & (t >= T_MIN) & (t < t_max))
-        return t, ok, gid
-    # KIND_TRI
+        return t, ok
+    # KIND_TRI — Moller-Trumbore (same accept set as the reference's
+    # barycentric-plane method, ~half the VPU ops; boundary ties resolve
+    # by strict-inequality like the reference's sign test,
+    # shape/src/simple.rs:435-475)
     p0x, p0y, p0z = f(0), f(1), f(2)
     p1x, p1y, p1z = f(3), f(4), f(5)
     p2x, p2y, p2z = f(6), f(7), f(8)
-    nx, ny, nz = f(9), f(10), f(11)
-    gid = f(12)
-    denom = rdx * nx + rdy * ny + rdz * nz
-    denom_s = jnp.where(denom == 0.0, 1.0, denom)
-    t = ((p0x - rox) * nx + (p0y - roy) * ny + (p0z - roz) * nz) / denom_s
-    hx = rox + t * rdx
-    hy = roy + t * rdy
-    hz = roz + t * rdz
-
-    def edge(ax, ay, az, bx, by, bz):
-        ex, ey, ez = hx - ax, hy - ay, hz - az
-        gx, gy, gz = hx - bx, hy - by, hz - bz
-        cx = ey * gz - ez * gy
-        cy = ez * gx - ex * gz
-        cz = ex * gy - ey * gx
-        return cx * nx + cy * ny + cz * nz
-
-    b2 = edge(p0x, p0y, p0z, p1x, p1y, p1z)
-    b0 = edge(p1x, p1y, p1z, p2x, p2y, p2z)
-    b1 = edge(p2x, p2y, p2z, p0x, p0y, p0z)
-    inside = ((b0 > 0) & (b1 > 0) & (b2 > 0)) | (
-        (b0 < 0) & (b1 < 0) & (b2 < 0))
-    ok = (denom != 0.0) & inside & (t >= T_MIN) & (t < t_max)
-    return t, ok, gid
+    e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
+    e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
+    # pvec = d x e2
+    pvx = rdy * e2z - rdz * e2y
+    pvy = rdz * e2x - rdx * e2z
+    pvz = rdx * e2y - rdy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    tvx, tvy, tvz = rox - p0x, roy - p0y, roz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    # qvec = tvec x e1
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    ok = ((det != 0.0) & (u > 0.0) & (v > 0.0) & (u + v < 1.0)
+          & (t >= T_MIN) & (t < t_max))
+    return t, ok
 
 
 LOCAL_BITS = 7  # log2(CHUNK): low key bits carry the in-chunk treelet id
@@ -257,7 +275,8 @@ LOCAL_MASK = np.int32((1 << LOCAL_BITS) - 1)
 def _treelet_kernel(boxes_ref, hi_ref, mid_ref, lo_ref,
                     ox, oy, oz, dx, dy, dz, tmax,
                     t_out, idx_out, tc_hi, tc_mid, tc_lo, sems, *,
-                    kind, n_chunks, t_count, any_hit):
+                    kind, n_chunks, t_count, treelet, any_hit,
+                    debug_rounds=False):
     # Blocks are [SUBROWS, RAYS]; each sublane row is an independent batch
     # of RAYS rays (TPU block shapes must be sublane-divisible).
     for r in range(SUBROWS):
@@ -265,13 +284,15 @@ def _treelet_kernel(boxes_ref, hi_ref, mid_ref, lo_ref,
                      ox, oy, oz, dx, dy, dz, tmax, t_out, idx_out,
                      tc_hi, tc_mid, tc_lo, sems,
                      r, kind=kind, n_chunks=n_chunks, t_count=t_count,
-                     any_hit=any_hit)
+                     treelet=treelet, any_hit=any_hit,
+                     debug_rounds=debug_rounds)
 
 
 def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
                  ox, oy, oz, dx, dy, dz, tmax,
                  t_out, idx_out, tc_hi, tc_mid, tc_lo, sems,
-                 r, *, kind, n_chunks, t_count, any_hit):
+                 r, *, kind, n_chunks, t_count, treelet, any_hit,
+                 debug_rounds=False):
     """Trace 1024 rays (row r of the block) against all chunks.
 
     Phase 1 computes, per chunk, each lane's min traversal key (a float
@@ -349,35 +370,42 @@ def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
             precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32)
 
-    def resolve(alive, g, t_best, idx_best):
-        """Dense prim test of the gathered treelet + best-hit update."""
-        t_c, ok, gid = _test_prims(
-            kind, g, nf, rox, roy, roz, rdx, rdy, rdz, t_max)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (treelet, RAYS), 0)
+
+    def resolve(alive, g, tid_global, t_best, idx_best):
+        """Dense prim test of the gathered treelet + best-hit update.
+        Winner identity is packed as tid_global*treelet + slot; the host
+        maps it to the family's prim index via slot_prim."""
+        t_c, ok = _test_prims(
+            kind, g, nf, treelet, rox, roy, roz, rdx, rdy, rdz, t_max)
         t_c = jnp.where(ok & alive, t_c, BIG)
         tmin = jnp.min(t_c, axis=0, keepdims=True)  # [1, RAYS]
-        gid_i = gid.astype(jnp.int32)
-        gid_sel = jnp.min(
-            jnp.where(t_c == tmin, gid_i, INT_MAX), axis=0, keepdims=True)
+        slot_sel = jnp.min(
+            jnp.where(t_c == tmin, slot_iota, INT_MAX),
+            axis=0, keepdims=True)
+        packed = tid_global * treelet + slot_sel
         closer = tmin < t_best
         t_best = jnp.where(closer, tmin, t_best)
-        idx_best = jnp.where(closer, gid_sel, idx_best)
+        idx_best = jnp.where(closer, packed, idx_best)
         return t_best, idx_best
 
     def outer_cond(state):
-        k, t_best, idx_best = state
+        k, t_best, idx_best, nround, nchunk = state
+        t_best, idx_best = t_best, idx_best
         rem = jnp.min(jnp.where(crow >= k, chunkmins, INT_MAX),
                       axis=0, keepdims=True)
         alive = lane_alive(rem, t_best, idx_best)
         return jnp.sum(alive.astype(jnp.float32)) > 0.0
 
     def outer_body(state):
-        k, t_best, idx_best = state
+        k, t_best, idx_best, nround, nchunk = state
         this = jnp.min(jnp.where(crow == k, chunkmins, INT_MAX),
                        axis=0, keepdims=True)
         want = lane_alive(this, t_best, idx_best)
         skip = jnp.sum(want.astype(jnp.float32)) == 0.0
 
-        def visit(t_best, idx_best):
+        def visit(t_best, idx_best, nround, nchunk):
+            nchunk = nchunk + 1.0
             # DMA this chunk's three table splits HBM -> VMEM scratch.
             cp_hi = pltpu.make_async_copy(hi_ref.at[k], tc_hi, sems.at[0])
             cp_mid = pltpu.make_async_copy(mid_ref.at[k], tc_mid, sems.at[1])
@@ -392,13 +420,14 @@ def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
             cp_lo.wait()
 
             def cond(istate):
-                keys_c, t_best, idx_best = istate
+                keys_c, t_best, idx_best, nround = istate
                 kmin = jnp.min(keys_c, axis=0, keepdims=True)
                 alive = lane_alive(kmin, t_best, idx_best)
                 return jnp.sum(alive.astype(jnp.float32)) > 0.0
 
             def body(istate):
-                keys_c, t_best, idx_best = istate
+                keys_c, t_best, idx_best, nround = istate
+                nround = nround + 1.0
                 kmin = jnp.min(keys_c, axis=0, keepdims=True)  # [1, RAYS]
                 alive = lane_alive(kmin, t_best, idx_best)
                 onehot = (keys_c == kmin) & alive  # [C, RAYS]
@@ -406,33 +435,44 @@ def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
                 oh = onehot.astype(jnp.bfloat16)
                 g = (mm(tc_hi[...], oh) + mm(tc_mid[...], oh)
                      + mm(tc_lo[...], oh))
-                t_best, idx_best = resolve(alive, g, t_best, idx_best)
-                return keys_c, t_best, idx_best
+                tid_global = k * CHUNK + (kmin & LOCAL_MASK)  # [1, RAYS]
+                t_best, idx_best = resolve(alive, g, tid_global,
+                                           t_best, idx_best)
+                return keys_c, t_best, idx_best, nround
 
-            _, t_best, idx_best = jax.lax.while_loop(
-                cond, body, (keys_c, t_best, idx_best))
-            return t_best, idx_best
+            _, t_best, idx_best, nround = jax.lax.while_loop(
+                cond, body, (keys_c, t_best, idx_best, nround))
+            return t_best, idx_best, nround, nchunk
 
-        t_best, idx_best = jax.lax.cond(
-            skip, lambda a, b: (a, b), visit, t_best, idx_best)
-        return k + 1, t_best, idx_best
+        t_best, idx_best, nround, nchunk = jax.lax.cond(
+            skip, lambda a, b, c, d: (a, b, c, d), visit,
+            t_best, idx_best, nround, nchunk)
+        return k + 1, t_best, idx_best, nround, nchunk
 
-    _, t_best, idx_best = jax.lax.while_loop(
-        outer_cond, outer_body, (jnp.int32(0), t_best0, idx0))
+    _, t_best, idx_best, nround, nchunk = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(0), t_best0, idx0, jnp.zeros((), jnp.float32),
+         jnp.zeros((), jnp.float32)))
     miss = t_best >= BIG
+    if debug_rounds:
+        t_out[r:r+1, :] = jnp.broadcast_to(nround * 100.0 + nchunk,
+                                           (1, RAYS))
+        idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
+        return
     t_out[r:r+1, :] = jnp.where(miss, jnp.inf, t_best)
     idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_chunks", "t_count",
                                              "nf", "treelet", "any_hit",
-                                             "interpret"))
+                                             "interpret", "debug_rounds"))
 def _trace_blocks(boxes, splits, ray_comps, kind, n_chunks, t_count,
-                  nf, treelet, any_hit=False, interpret=False):
+                  nf, treelet, any_hit=False, interpret=False,
+                  debug_rounds=False):
     blocks = ray_comps[0].shape[0] // SUBROWS
     kernel = functools.partial(
         _treelet_kernel, kind=kind, n_chunks=n_chunks, t_count=t_count,
-        any_hit=any_hit)
+        treelet=treelet, any_hit=any_hit, debug_rounds=debug_rounds)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
     rblk = lambda: pl.BlockSpec((SUBROWS, RAYS), lambda i: (i, 0),
@@ -460,14 +500,17 @@ def _trace_blocks(boxes, splits, ray_comps, kind, n_chunks, t_count,
 class TreeletTracer:
     """Closest-hit / any-hit over one primitive family via MXU gathers."""
 
-    def __init__(self, kind, fields, bbox_lo, bbox_hi, interpret=False,
-                 treelet=TREELET):
+    def __init__(self, kind, fields, bbox_lo, bbox_hi, global_base=0,
+                 interpret=False, treelet=TREELET):
         self.kind = kind
         self.interpret = interpret
         self.treelet = treelet
         (self.boxes, self.splits, self.n_chunks,
-         self.t_count) = build_treelets(
+         self.t_count, slot_prim, self.world_bounds) = build_treelets(
             kind, fields, bbox_lo, bbox_hi, treelet=treelet)
+        # packed (treelet, slot) -> global prim id (-1 for empty slots)
+        self.slot_gid = jnp.where(slot_prim >= 0, slot_prim + global_base,
+                                  -1).astype(jnp.int32)
         self.t_pad = self.n_chunks * CHUNK
 
     def _components(self, rays):
@@ -485,51 +528,96 @@ class TreeletTracer:
         comps.append(prep(rays.t_max, -1.0))
         return comps, n
 
-    def trace(self, rays, any_hit=False):
+    def _sort_key(self, rays):
+        """Spatial-coherence sort key: origin morton (6 bits/axis,
+        interleaved) then direction octant+quadrant. Lanes that trace
+        together should want the same treelets; dead rays (t_max <= 0)
+        key to the end, compacting them into rows phase 1 skips whole."""
+        lo, hi = self.world_bounds
+        lo = jnp.asarray(lo)
+        inv = 63.0 / jnp.maximum(jnp.asarray(hi) - lo, 1e-30)
+        q = jnp.clip(((rays.origin - lo) * inv).astype(jnp.int32), 0, 63)
+
+        def part1by2(x):
+            # spread 6 bits to every 3rd position (morton component)
+            x = (x | (x << 8)) & 0x0300F
+            x = (x | (x << 4)) & 0x030C3
+            x = (x | (x << 2)) & 0x09249
+            return x
+
+        morton = (part1by2(q[:, 0]) | (part1by2(q[:, 1]) << 1)
+                  | (part1by2(q[:, 2]) << 2))  # 18 bits
+        d = rays.dir
+        octant = ((d[:, 0] < 0).astype(jnp.int32)
+                  | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+                  | ((d[:, 2] < 0).astype(jnp.int32) << 2))
+        ax = jnp.abs(d)
+        major = jnp.argmax(ax, axis=1).astype(jnp.int32)
+        key = (morton << 5) | (octant << 2) | major
+        return jnp.where(rays.t_max > 0.0, key, jnp.int32(2**30))
+
+    def trace(self, rays, any_hit=False, sort=False):
+        # sort: morton/octant ray reordering. Measured a net LOSS on v5e
+        # (XLA argsort + gathers cost more than the round-count saving:
+        # coherent and incoherent batches trace within ~10% of each other
+        # already), so it defaults off; kept for future radix-sort kernels.
+        n = rays.origin.shape[0]
+        if sort:
+            perm = jnp.argsort(self._sort_key(rays))
+            rays = rays.replace(
+                origin=rays.origin[perm], dir=rays.dir[perm],
+                t_max=rays.t_max[perm])
         comps, n = self._components(rays)
-        t, idx = _trace_blocks(
+        t, packed = _trace_blocks(
             self.boxes, self.splits, tuple(comps),
             kind=self.kind, n_chunks=self.n_chunks, t_count=self.t_count,
             nf=N_FIELDS[self.kind], treelet=self.treelet,
             any_hit=any_hit, interpret=self.interpret)
-        return t.reshape(-1)[:n], idx.reshape(-1)[:n]
+        t = t.reshape(-1)[:n]
+        packed = packed.reshape(-1)[:n]
+        # (treelet, slot) -> global prim id; a small XLA gather outside the
+        # kernel (keeping the id out of the in-kernel field tables).
+        idx = jnp.where(
+            packed >= 0,
+            jnp.take(self.slot_gid, jnp.clip(packed, 0), axis=0), -1)
+        if sort:
+            t = jnp.zeros_like(t).at[perm].set(t)
+            idx = jnp.zeros_like(idx).at[perm].set(idx)
+        return t, idx
 
 
 def tri_tracer(p0, p1, p2, global_base, interpret=False, treelet=TREELET):
     p0 = np.asarray(p0, np.float32)
     p1 = np.asarray(p1, np.float32)
     p2 = np.asarray(p2, np.float32)
-    gid = (global_base + np.arange(p0.shape[0])).astype(np.float32)
     lo, hi = bvh_mod.triangle_bboxes(p0, p1, p2)
-    return TreeletTracer(KIND_TRI, _tri_fields(p0, p1, p2, gid), lo, hi,
-                         interpret=interpret, treelet=treelet)
+    return TreeletTracer(KIND_TRI, _tri_fields(p0, p1, p2), lo, hi,
+                         global_base, interpret=interpret, treelet=treelet)
 
 
 def sphere_tracer(c, r, global_base, interpret=False, treelet=TREELET):
     c = np.asarray(c, np.float32)
     r = np.asarray(r, np.float32)
-    gid = (global_base + np.arange(c.shape[0])).astype(np.float32)
     lo, hi = c - r[:, None], c + r[:, None]
-    return TreeletTracer(KIND_SPHERE, _sphere_fields(c, r, gid), lo, hi,
-                         interpret=interpret, treelet=treelet)
+    return TreeletTracer(KIND_SPHERE, _sphere_fields(c, r), lo, hi,
+                         global_base, interpret=interpret, treelet=treelet)
 
 
 def quad_tracer(o, u, v, global_base, interpret=False, treelet=TREELET):
     o = np.asarray(o, np.float32)
     u = np.asarray(u, np.float32)
     v = np.asarray(v, np.float32)
-    gid = (global_base + np.arange(o.shape[0])).astype(np.float32)
     corners = np.stack([o, o + u, o + v, o + u + v])
-    return TreeletTracer(KIND_QUAD, _quad_fields(o, u, v, gid),
+    return TreeletTracer(KIND_QUAD, _quad_fields(o, u, v),
                          corners.min(0), corners.max(0),
-                         interpret=interpret, treelet=treelet)
+                         global_base, interpret=interpret, treelet=treelet)
 
 
 def disk_tracer(c, n, radial, global_base, interpret=False, treelet=TREELET):
     c = np.asarray(c, np.float32)
     n = np.asarray(n, np.float32)
     radial = np.asarray(radial, np.float32)
-    gid = (global_base + np.arange(c.shape[0])).astype(np.float32)
     r = np.sqrt((radial * radial).sum(1, keepdims=True))
-    return TreeletTracer(KIND_DISK, _disk_fields(c, n, radial, gid),
-                         c - r, c + r, interpret=interpret, treelet=treelet)
+    return TreeletTracer(KIND_DISK, _disk_fields(c, n, radial),
+                         c - r, c + r, global_base,
+                         interpret=interpret, treelet=treelet)

@@ -28,13 +28,20 @@ def _power2_heuristic(f_pdf, g_pdf):
 
 def uniform_sample_one_light(
     scene, lobes, frame, hit_pos, hit_normal, wo, u_select, u_light, u_scatter,
-    occlude_fn=None,
+    occlude_fn=None, alive=None,
 ):
     """Estimate direct lighting at shading points.
 
     All inputs are [N]-batched; returns radiance [N,3]. `occlude_fn(rays)`
     performs the any-hit query (defaults to brute-force table occlusion).
+    `alive` masks lanes whose result is discarded: their shadow rays get
+    t_max=0, so traversal-ordered tracers skip them outright.
     """
+
+    def mask_dead(rays):
+        if alive is None:
+            return rays
+        return rays.replace(t_max=jnp.where(alive, rays.t_max, 0.0))
     if occlude_fn is None:
         occlude_fn = lambda rays: isect_mod.occluded(scene.geom, rays)
 
@@ -82,7 +89,8 @@ def uniform_sample_one_light(
             vm.dot(hit_normal, wi_l)
         )[..., None]
         scatter_pdf = bsdf_mod.pdf_bsdf(lobes, frame, wo, wi_l)
-        shadow = ray_mod.spawn_limited_to(hit_pos, hit_normal, target_l)
+        shadow = mask_dead(
+            ray_mod.spawn_limited_to(hit_pos, hit_normal, target_l))
         occluded_l = occlude_fn(shadow)
         # MIS weight: 1 for delta lights (mass), power-2 otherwise.
         # [ref: src/directlighting.rs:141-145, 192]
@@ -128,7 +136,7 @@ def uniform_sample_one_light(
             dir=shadow_dir,
             t_max=shadow_tmax,
         )
-        occluded_b = occlude_fn(shadow2)
+        occluded_b = occlude_fn(mask_dead(shadow2))
 
         if n_area > 0:
             weight_b = _power2_heuristic(pdf_b, pdf_light_b)

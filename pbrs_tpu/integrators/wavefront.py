@@ -121,6 +121,7 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
             l_direct = nee.uniform_sample_one_light(
                 scene, lobes, frame, hit.pos, hit.normal, wo,
                 u_sel, u_light, u_scatter, occlude_fn=occlude_fn,
+                alive=alive,
             )
             radiance = radiance + jnp.where(
                 alive[..., None], beta * l_direct, 0.0
@@ -154,6 +155,9 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
             rr_active & alive, 1.0 / jnp.maximum(1.0 - q, 1e-6), 1.0
         )
         beta = beta * rr_scale[..., None]
+        # Dead lanes get t_max=0 so traversal-ordered tracers never walk
+        # them on later bounces (the flat sweep masks them anyway).
+        rays = rays.replace(t_max=jnp.where(alive, rays.t_max, 0.0))
 
         return rays, radiance, beta, alive, is_delta, ray_count
 
