@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--visualize_materials", action="store_true")
     p.add_argument("--use_single_thread", action="store_true")
     p.add_argument("--use_multi_thread", action="store_true")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of the render here")
+    p.add_argument("--phase_timings", action="store_true",
+                   help="print per-phase device timings "
+                        "(raygen/trace/occlude/shade) before rendering")
     return p
 
 
@@ -106,6 +111,15 @@ def main(argv=None) -> int:
             print(f"resuming from {args.checkpoint} at "
                   f"{film.samples_done} samples")
 
+    if args.phase_timings:
+        from . import profiling
+
+        phases = profiling.profile_phases(scene, max_depth=args.depth,
+                                          seed=args.seed)
+        print("per-phase device timings (1 launch):")
+        for k, v in phases.items():
+            print(f"  {k}: {v}")
+
     t0 = time.time()
     pixel_filter = None
     if args.filter:
@@ -117,6 +131,7 @@ def main(argv=None) -> int:
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
         pixel_filter=pixel_filter,
+        profile_dir=args.profile_dir,
     )
     wall = time.time() - t0
     mrays = stats.traced_rays / max(stats.wall_time, 1e-9) / 1e6

@@ -61,12 +61,16 @@ class CubicSpline:
         m0, m1 = self.m[i], self.m[i + 1]
         h = x1 - x0
         t = (x - x0)
-        return (
+        y = (
             m0 * (x1 - x) ** 3 / (6 * h)
             + m1 * t**3 / (6 * h)
             + (y0 / h - m0 * h / 6) * (x1 - x)
             + (y1 / h - m1 * h / 6) * t
         )
+        # Out-of-domain clamps to the endpoint values, like the reference
+        # (math/src/spline.rs:42-45).
+        y = np.where(x <= self.xs[0], self.ys[0], y)
+        return np.where(x >= self.xs[-1], self.ys[-1], y)
 
 
 # ----------------------------- device (jnp) --------------------------------

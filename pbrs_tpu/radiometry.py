@@ -2,10 +2,11 @@
 
 Colors are plain ``[..., 3]`` float32 arrays (linear sRGB primaries). This
 replaces the reference Color/XYZ structs (reference radiometry/src/color.rs)
-with array lanes, and the CIE-table spectral machinery
-(reference radiometry/src/spectrum.rs:3-75) with Planck's law plus the
-Wyman-Sloan-Shirley analytic fit of the CIE 1931 observer — host-side only,
-run once at scene-load time.
+with array lanes. Spectral->RGB uses the exact 471-sample CIE 1931 standard
+observer tables (public CIE data, the same table the reference embeds at
+radiometry/src/spectrum.rs:72-75) with natural-cubic-spline SPD resampling
+per the reference pipeline (spectrum.rs:57-70) — host-side only, run once at
+scene-load time.
 """
 
 from __future__ import annotations
@@ -57,37 +58,41 @@ def from_u8(r: int, g: int, b: int):
 # Spectral -> RGB (host-side, NumPy). [ref: radiometry/src/spectrum.rs]
 # ---------------------------------------------------------------------------
 
-# Wyman, Sloan, Shirley, "Simple Analytic Approximations to the CIE XYZ
-# Color Matching Functions", JCGT 2013 — multi-lobe Gaussian fit, replacing
-# the reference's 471-entry sampled CIE tables (spectrum.rs:72-75).
-def _gauss(x, alpha, mu, s1, s2):
-    s = np.where(x < mu, s1, s2)
-    t = (x - mu) / s
-    return alpha * np.exp(-0.5 * t * t)
+# Exact CIE 1931 2-degree standard-observer tables, 471 samples at 1 nm from
+# 360-830 nm (public CIE data; identical table to reference
+# spectrum.rs:72-75). Stored as an npz asset rather than a thousand-line
+# literal.
+def _load_cie():
+    import importlib.resources as res
+
+    with res.files("pbrs_tpu.data").joinpath("cie1931.npz").open("rb") as f:
+        z = np.load(f)
+        return {k: z[k].astype(np.float64) for k in z.files}
+
+
+_CIE = _load_cie()
+_CIE_LAMBDA = _CIE["cie_lambda"]
+_CIE_X_TAB, _CIE_Y_TAB, _CIE_Z_TAB = _CIE["cie_x"], _CIE["cie_y"], _CIE["cie_z"]
 
 
 def cie_x(wavelength_nm):
     w = np.asarray(wavelength_nm, dtype=np.float64)
-    return (
-        _gauss(w, 0.362, 442.0, 16.0, 26.7)
-        + _gauss(w, 1.056, 599.8, 37.9, 31.0)
-        + _gauss(w, -0.065, 501.1, 20.4, 26.2)
-    )
+    return np.interp(w, _CIE_LAMBDA, _CIE_X_TAB, left=0.0, right=0.0)
 
 
 def cie_y(wavelength_nm):
     w = np.asarray(wavelength_nm, dtype=np.float64)
-    return _gauss(w, 0.821, 568.8, 46.9, 40.5) + _gauss(w, 0.286, 530.9, 16.3, 31.1)
+    return np.interp(w, _CIE_LAMBDA, _CIE_Y_TAB, left=0.0, right=0.0)
 
 
 def cie_z(wavelength_nm):
     w = np.asarray(wavelength_nm, dtype=np.float64)
-    return _gauss(w, 1.217, 437.0, 11.8, 36.0) + _gauss(w, 0.681, 459.0, 26.0, 13.8)
+    return np.interp(w, _CIE_LAMBDA, _CIE_Z_TAB, left=0.0, right=0.0)
 
 
-# Integral of cie_y over the visible range (normalization constant).
-_CIE_LAMBDA = np.arange(360.0, 831.0, 1.0)
-CIE_Y_INTEGRAL = float(np.trapezoid(cie_y(_CIE_LAMBDA), _CIE_LAMBDA))
+# Normalization: plain sum over the 1 nm table, matching the reference's
+# `CIE_Y.iter().sum()` (spectrum.rs:69,54) rather than a trapezoid integral.
+CIE_Y_INTEGRAL = float(_CIE_Y_TAB.sum())
 
 
 def blackbody(wavelength_nm, temperature_k):
@@ -111,19 +116,29 @@ def blackbody_normalized(wavelength_nm, temperature_k):
 
 def sampled_spectrum_to_rgb(wavelengths_nm, values):
     """Integrate an SPD against the CIE observer and convert to linear RGB.
-    [ref: radiometry/src/spectrum.rs:57-70]"""
+
+    Reference pipeline (radiometry/src/spectrum.rs:57-70): sort samples,
+    build a natural cubic spline, evaluate it at every CIE table wavelength
+    (extrapolating at the ends like the reference spline does), dot with the
+    X/Y/Z tables, scale by 1/sum(CIE_Y).
+    """
+    from .core.spline import CubicSpline
+
     lam = np.asarray(wavelengths_nm, dtype=np.float64)
     val = np.asarray(values, dtype=np.float64)
     order = np.argsort(lam)
     lam, val = lam[order], val[order]
-    # Resample onto a dense 1nm grid covering the overlap with the visible range.
-    grid = _CIE_LAMBDA[(_CIE_LAMBDA >= lam[0]) & (_CIE_LAMBDA <= lam[-1])]
-    if grid.size == 0:
-        return np.zeros(3, dtype=np.float32)
-    dense = np.interp(grid, lam, val)
-    x = np.trapezoid(dense * cie_x(grid), grid) / CIE_Y_INTEGRAL
-    y = np.trapezoid(dense * cie_y(grid), grid) / CIE_Y_INTEGRAL
-    z = np.trapezoid(dense * cie_z(grid), grid) / CIE_Y_INTEGRAL
+    if lam.size == 1:
+        dense = np.full_like(_CIE_LAMBDA, val[0])
+    else:
+        dense = np.asarray(
+            CubicSpline(lam.astype(np.float32), val.astype(np.float32))
+            .evaluate(_CIE_LAMBDA.astype(np.float32)),
+            dtype=np.float64,
+        )
+    x = float(np.sum(dense * _CIE_X_TAB)) / CIE_Y_INTEGRAL
+    y = float(np.sum(dense * _CIE_Y_TAB)) / CIE_Y_INTEGRAL
+    z = float(np.sum(dense * _CIE_Z_TAB)) / CIE_Y_INTEGRAL
     rgb = XYZ_TO_RGB @ np.array([x, y, z])
     return np.maximum(rgb, 0.0).astype(np.float32)
 

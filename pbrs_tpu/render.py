@@ -70,7 +70,8 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
                  checkpoint_path: str | None = None,
                  checkpoint_every: int = 0, use_nee: bool = True,
                  use_pallas: bool | None = None,
-                 pixel_filter: tuple | None = None):
+                 pixel_filter: tuple | None = None,
+                 profile_dir: str | None = None):
     """Render the scene camera view. Returns (image [H,W,3], RenderStats).
 
     spp is rounded up to a square (msaa² stratification, matching the
@@ -201,6 +202,12 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
         except ValueError:
             prev_term = None  # not the main thread
 
+    from .profiling import profiler_trace
+
+    import contextlib
+
+    prof_stack = contextlib.ExitStack()
+    prof_stack.enter_context(profiler_trace(profile_dir))
     try:
         while s < spp_total:
             batch = min(samples_per_launch, spp_total - s)
@@ -230,6 +237,7 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
             film.save(checkpoint_path)
         raise
     finally:
+        prof_stack.close()
         if prev_term is not None:
             signal.signal(signal.SIGTERM, prev_term)
     flush_device_film()
