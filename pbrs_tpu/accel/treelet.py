@@ -47,6 +47,7 @@ SUBROWS = 8  # batch rows per kernel block (sublane-divisibility)
 BLOCK_RAYS = RAYS * SUBROWS
 TREELET = 64  # primitive slots per treelet
 CHUNK = 128  # compacted gather width (columns per treelet group)
+UNROLL = 2  # treelet visits per loop iteration (gathers pipeline in a group)
 T_MIN = ray_mod.T_MIN
 BIG = 3.0e38
 INT_MAX = np.int32(2**31 - 1)
@@ -111,24 +112,37 @@ def build_treelets(kind, fields, bbox_lo, bbox_hi, treelet=TREELET,
     p, nf = fields.shape
     assert nf == N_FIELDS[kind]
     bvh = bvh_mod.build_bvh(bbox_lo, bbox_hi, max_leaf=treelet)
-    leaf_ids = np.where(bvh.is_leaf > 0)[0]
     order = bvh.prim_order
-    # Leaf order is the builder's DFS emit order == spatial locality, so
-    # consecutive treelets land in the same chunk. SAH leaves average ~70%
-    # fill; greedily merging *adjacent* leaves (their prim_order ranges are
-    # contiguous in DFS) packs treelets fuller -> fewer gather rounds, at a
-    # small bbox-union cost.
+    # Treelets are cut at the *deepest BVH subtree with <= treelet prims*
+    # (subtree prim ranges are contiguous in DFS prim_order), not at SAH
+    # leaves: SAH keeps splitting below `treelet` whenever it pays for a
+    # stack traverser, which leaves treelets ~35% full — and the gather
+    # kernel's per-round cost is independent of fill, so fuller treelets
+    # mean proportionally fewer rounds. The subtree's own bbox stays tight.
     leaves = []  # (first, count, bbmin, bbmax)
-    for node in leaf_ids:
-        f, c = int(bvh.first[node]), int(bvh.count[node])
-        lo_, hi_ = bvh.bbox_min[node], bvh.bbox_max[node]
-        if (leaves and leaves[-1][1] + c <= treelet
-                and leaves[-1][0] + leaves[-1][1] == f):
-            pf, pc, plo, phi = leaves[-1]
-            leaves[-1] = (pf, pc + c, np.minimum(plo, lo_),
-                          np.maximum(phi, hi_))
+    is_leaf, first, count = bvh.is_leaf, bvh.first, bvh.count
+    nn = is_leaf.shape[0]
+    # Subtree prim ranges: leaf = [first, first+count); interior = union of
+    # children (left child = i+1, right child = first[i], DFS layout).
+    r_lo = np.zeros(nn, np.int64)
+    r_hi = np.zeros(nn, np.int64)
+    for i in range(nn - 1, -1, -1):
+        if is_leaf[i]:
+            r_lo[i] = first[i]
+            r_hi[i] = first[i] + count[i]
         else:
-            leaves.append((f, c, lo_, hi_))
+            r_lo[i] = r_lo[i + 1]
+            r_hi[i] = r_hi[first[i]]
+    stack = [0] if nn else []
+    while stack:
+        i = stack.pop()
+        if r_hi[i] - r_lo[i] <= treelet or is_leaf[i]:
+            leaves.append((int(r_lo[i]), int(r_hi[i] - r_lo[i]),
+                           bvh.bbox_min[i], bvh.bbox_max[i]))
+        else:
+            stack.append(int(first[i]))  # right child after left
+            stack.append(i + 1)
+    leaves.sort(key=lambda l: l[0])  # DFS prim order == spatial locality
     t_count = len(leaves)
     assert t_count <= max_t, f"{t_count} treelets exceeds cap {max_t}"
     t_pad = max(CHUNK, -(-t_count // CHUNK) * CHUNK)
@@ -147,9 +161,14 @@ def build_treelets(kind, fields, bbox_lo, bbox_hi, treelet=TREELET,
         boxes[col, 0:3] = lo_
         boxes[col, 3:6] = hi_
     hi, mid, lo = _split3(tbl)
+    # The three bf16 splits are stacked into ONE table [3*F*treelet, CHUNK]
+    # so each round issues a single matmul + DMA (three separate matmuls
+    # measured ~1us fixed overhead each on v5e — the stacked form is the
+    # same MACs with a third of the issue cost).
+    stacked = np.concatenate([hi, mid, lo], axis=0)
 
     def chunked(a):
-        # [F*treelet, t_pad] -> [n_chunks, F*treelet, CHUNK]
+        # [rows, t_pad] -> [n_chunks, rows, CHUNK]
         a = np.asarray(a)
         return jnp.asarray(
             np.ascontiguousarray(
@@ -159,7 +178,7 @@ def build_treelets(kind, fields, bbox_lo, bbox_hi, treelet=TREELET,
     world_hi = np.max([l[3] for l in leaves], axis=0)
     return (
         jnp.asarray(boxes),
-        (chunked(hi), chunked(mid), chunked(lo)),
+        chunked(stacked),
         n_chunks, t_count, jnp.asarray(slot_prim),
         (world_lo, world_hi),
     )
@@ -272,28 +291,28 @@ LOCAL_BITS = 7  # log2(CHUNK): low key bits carry the in-chunk treelet id
 LOCAL_MASK = np.int32((1 << LOCAL_BITS) - 1)
 
 
-def _treelet_kernel(boxes_ref, hi_ref, mid_ref, lo_ref,
+def _treelet_kernel(boxes_ref, tab_ref,
                     ox, oy, oz, dx, dy, dz, tmax,
-                    t_out, idx_out, tc_hi, tc_mid, tc_lo, sems, *,
+                    t_out, idx_out, tc, sems, *,
                     kind, n_chunks, t_count, treelet, any_hit,
-                    debug_rounds=False):
-    # Blocks are [SUBROWS, RAYS]; each sublane row is an independent batch
-    # of RAYS rays (TPU block shapes must be sublane-divisible).
-    for r in range(SUBROWS):
-        _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
+                    rays=RAYS, subrows=SUBROWS, debug_rounds=False):
+    # Blocks are [subrows, rays]; each sublane row is an independent batch
+    # of `rays` rays (TPU block shapes must be sublane-divisible).
+    for r in range(subrows):
+        _treelet_row(boxes_ref, tab_ref,
                      ox, oy, oz, dx, dy, dz, tmax, t_out, idx_out,
-                     tc_hi, tc_mid, tc_lo, sems,
+                     tc, sems,
                      r, kind=kind, n_chunks=n_chunks, t_count=t_count,
-                     treelet=treelet, any_hit=any_hit,
+                     treelet=treelet, any_hit=any_hit, rays=rays,
                      debug_rounds=debug_rounds)
 
 
-def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
+def _treelet_row(boxes_ref, tab_ref,
                  ox, oy, oz, dx, dy, dz, tmax,
-                 t_out, idx_out, tc_hi, tc_mid, tc_lo, sems,
+                 t_out, idx_out, tc, sems,
                  r, *, kind, n_chunks, t_count, treelet, any_hit,
-                 debug_rounds=False):
-    """Trace 1024 rays (row r of the block) against all chunks.
+                 rays=RAYS, debug_rounds=False):
+    """Trace `rays` rays (row r of the block) against all chunks.
 
     Phase 1 computes, per chunk, each lane's min traversal key (a float
     t_enter lower bound with the in-chunk treelet id in the low 7 bits).
@@ -304,7 +323,7 @@ def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
     (one MXU one-hot gather per round) until no lane can improve.
     """
     nf = N_FIELDS[kind]
-    rox, roy, roz = ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :]  # [1, RAYS]
+    rox, roy, roz = ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :]  # [1, rays]
     rdx, rdy, rdz = dx[r:r+1, :], dy[r:r+1, :], dz[r:r+1, :]
     t_max = tmax[r:r+1, :]
     inv_x = 1.0 / jnp.where(rdx == 0.0, 1e-30, rdx)
@@ -312,14 +331,14 @@ def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
     inv_z = 1.0 / jnp.where(rdz == 0.0, 1e-30, rdz)
 
     def chunk_keys(boxes, base):
-        """Slab-test one chunk's boxes -> int32 traversal keys [C, RAYS].
+        """Slab-test one chunk's boxes -> int32 traversal keys [C, rays].
 
         boxes: [CHUNK, 8] (xlo,ylo,zlo,xhi,yhi,zhi,_,_). Key = bits of the
         clipped t_enter with the low LOCAL_BITS replaced by the in-chunk
         treelet id — int-comparable, distinct, and a conservative *lower*
         bound of t_enter (clearing mantissa bits only decreases the float).
         """
-        tx0 = (boxes[:, 0:1] - rox) * inv_x  # [C, RAYS]
+        tx0 = (boxes[:, 0:1] - rox) * inv_x  # [C, rays]
         tx1 = (boxes[:, 3:4] - rox) * inv_x
         ty0 = (boxes[:, 1:2] - roy) * inv_y
         ty1 = (boxes[:, 4:5] - roy) * inv_y
@@ -331,7 +350,7 @@ def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
         t_exit = jnp.minimum(
             jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
             jnp.maximum(tz0, tz1))
-        lid = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, RAYS), 0)
+        lid = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, rays), 0)
         # Padding columns (bbox +BIG/-BIG) can pass the slab test through
         # f32 overflow (inf*x) — mask them out explicitly.
         hit_box = ((t_enter <= t_exit) & (t_exit >= T_MIN)
@@ -347,9 +366,9 @@ def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
         mins.append(jnp.min(keys_kk, axis=0, keepdims=True))
     chunkmins = jnp.concatenate(mins, axis=0) if n_chunks > 1 else mins[0]
 
-    t_best0 = jnp.full((1, RAYS), BIG, jnp.float32)
-    idx0 = jnp.full((1, RAYS), -1, jnp.int32)
-    crow = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, RAYS), 0)
+    t_best0 = jnp.full((1, rays), BIG, jnp.float32)
+    idx0 = jnp.full((1, rays), -1, jnp.int32)
+    crow = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, rays), 0)
 
     def lane_alive(kmin, t_best, idx_best):
         t_lb = jax.lax.bitcast_convert_type(kmin & ~LOCAL_MASK, jnp.float32)
@@ -370,7 +389,7 @@ def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
             precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32)
 
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (treelet, RAYS), 0)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (treelet, rays), 0)
 
     def resolve(alive, g, tid_global, t_best, idx_best):
         """Dense prim test of the gathered treelet + best-hit update.
@@ -379,7 +398,7 @@ def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
         t_c, ok = _test_prims(
             kind, g, nf, treelet, rox, roy, roz, rdx, rdy, rdz, t_max)
         t_c = jnp.where(ok & alive, t_c, BIG)
-        tmin = jnp.min(t_c, axis=0, keepdims=True)  # [1, RAYS]
+        tmin = jnp.min(t_c, axis=0, keepdims=True)  # [1, rays]
         slot_sel = jnp.min(
             jnp.where(t_c == tmin, slot_iota, INT_MAX),
             axis=0, keepdims=True)
@@ -406,18 +425,12 @@ def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
 
         def visit(t_best, idx_best, nround, nchunk):
             nchunk = nchunk + 1.0
-            # DMA this chunk's three table splits HBM -> VMEM scratch.
-            cp_hi = pltpu.make_async_copy(hi_ref.at[k], tc_hi, sems.at[0])
-            cp_mid = pltpu.make_async_copy(mid_ref.at[k], tc_mid, sems.at[1])
-            cp_lo = pltpu.make_async_copy(lo_ref.at[k], tc_lo, sems.at[2])
-            cp_hi.start()
-            cp_mid.start()
-            cp_lo.start()
+            # DMA this chunk's stacked table HBM -> VMEM scratch.
+            cp = pltpu.make_async_copy(tab_ref.at[k], tc, sems.at[0])
+            cp.start()
             keys_c = chunk_keys(boxes_ref[pl.ds(k * CHUNK, CHUNK), :],
                                 k * CHUNK)
-            cp_hi.wait()
-            cp_mid.wait()
-            cp_lo.wait()
+            cp.wait()
 
             def cond(istate):
                 keys_c, t_best, idx_best, nround = istate
@@ -427,17 +440,28 @@ def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
 
             def body(istate):
                 keys_c, t_best, idx_best, nround = istate
-                nround = nround + 1.0
-                kmin = jnp.min(keys_c, axis=0, keepdims=True)  # [1, RAYS]
-                alive = lane_alive(kmin, t_best, idx_best)
-                onehot = (keys_c == kmin) & alive  # [C, RAYS]
-                keys_c = jnp.where(onehot, INT_MAX, keys_c)
-                oh = onehot.astype(jnp.bfloat16)
-                g = (mm(tc_hi[...], oh) + mm(tc_mid[...], oh)
-                     + mm(tc_lo[...], oh))
-                tid_global = k * CHUNK + (kmin & LOCAL_MASK)  # [1, RAYS]
-                t_best, idx_best = resolve(alive, g, tid_global,
-                                           t_best, idx_best)
+                # Unrolled rounds with the alive mask frozen for the group:
+                # the next one-hot depends only on key marking (pure VPU),
+                # not on the previous resolve, so the UNROLL gathers
+                # pipeline on the MXU while resolves overlap on the VPU.
+                # A lane may test up to UNROLL-1 treelets past the point
+                # where its hit already beats every remaining key — extra
+                # visits bought for ~2x less serialization.
+                rows3 = tc.shape[0]
+                f3 = rows3 // 3
+                pending = None
+                for _ in range(UNROLL):
+                    nround = nround + 1.0
+                    kmin = jnp.min(keys_c, axis=0, keepdims=True)
+                    alive = lane_alive(kmin, t_best, idx_best)
+                    onehot = (keys_c == kmin) & alive  # [C, rays]
+                    keys_c = jnp.where(onehot, INT_MAX, keys_c)
+                    g3 = mm(tc[...], onehot.astype(jnp.bfloat16))
+                    g = g3[0:f3] + g3[f3:2 * f3] + g3[2 * f3:]
+                    if pending is not None:
+                        t_best, idx_best = resolve(*pending, t_best, idx_best)
+                    pending = (alive, g, k * CHUNK + (kmin & LOCAL_MASK))
+                t_best, idx_best = resolve(*pending, t_best, idx_best)
                 return keys_c, t_best, idx_best, nround
 
             _, t_best, idx_best, nround = jax.lax.while_loop(
@@ -456,7 +480,7 @@ def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
     miss = t_best >= BIG
     if debug_rounds:
         t_out[r:r+1, :] = jnp.broadcast_to(nround * 100.0 + nchunk,
-                                           (1, RAYS))
+                                           (1, rays))
         idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
         return
     t_out[r:r+1, :] = jnp.where(miss, jnp.inf, t_best)
@@ -465,47 +489,50 @@ def _treelet_row(boxes_ref, hi_ref, mid_ref, lo_ref,
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_chunks", "t_count",
                                              "nf", "treelet", "any_hit",
+                                             "rays", "subrows",
                                              "interpret", "debug_rounds"))
-def _trace_blocks(boxes, splits, ray_comps, kind, n_chunks, t_count,
-                  nf, treelet, any_hit=False, interpret=False,
-                  debug_rounds=False):
-    blocks = ray_comps[0].shape[0] // SUBROWS
+def _trace_blocks(boxes, table, ray_comps, kind, n_chunks, t_count,
+                  nf, treelet, any_hit=False, rays=RAYS, subrows=SUBROWS,
+                  interpret=False, debug_rounds=False):
+    blocks = ray_comps[0].shape[0] // subrows
     kernel = functools.partial(
         _treelet_kernel, kind=kind, n_chunks=n_chunks, t_count=t_count,
-        treelet=treelet, any_hit=any_hit, debug_rounds=debug_rounds)
+        treelet=treelet, any_hit=any_hit, rays=rays, subrows=subrows,
+        debug_rounds=debug_rounds)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
-    rblk = lambda: pl.BlockSpec((SUBROWS, RAYS), lambda i: (i, 0),
+    rblk = lambda: pl.BlockSpec((subrows, rays), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
-    rows = blocks * SUBROWS
+    rows = blocks * subrows
     return pl.pallas_call(
         kernel,
         grid=(blocks,),
-        in_specs=[vmem()] + [anym()] * 3 + [rblk()] * 7,
+        in_specs=[vmem()] + [anym()] + [rblk()] * 7,
         out_specs=(rblk(), rblk()),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, RAYS), jnp.float32),
-            jax.ShapeDtypeStruct((rows, RAYS), jnp.int32),
+            jax.ShapeDtypeStruct((rows, rays), jnp.float32),
+            jax.ShapeDtypeStruct((rows, rays), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nf * treelet, CHUNK), jnp.bfloat16),
-            pltpu.VMEM((nf * treelet, CHUNK), jnp.bfloat16),
-            pltpu.VMEM((nf * treelet, CHUNK), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((3 * nf * treelet, CHUNK), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
         interpret=interpret,
-    )(boxes, *splits, *ray_comps)
+    )(boxes, table, *ray_comps)
 
 
 class TreeletTracer:
     """Closest-hit / any-hit over one primitive family via MXU gathers."""
 
     def __init__(self, kind, fields, bbox_lo, bbox_hi, global_base=0,
-                 interpret=False, treelet=TREELET):
+                 interpret=False, treelet=TREELET, rays=RAYS,
+                 subrows=SUBROWS):
         self.kind = kind
         self.interpret = interpret
         self.treelet = treelet
-        (self.boxes, self.splits, self.n_chunks,
+        self.rays = rays
+        self.subrows = subrows
+        (self.boxes, self.table, self.n_chunks,
          self.t_count, slot_prim, self.world_bounds) = build_treelets(
             kind, fields, bbox_lo, bbox_hi, treelet=treelet)
         # packed (treelet, slot) -> global prim id (-1 for empty slots)
@@ -513,15 +540,17 @@ class TreeletTracer:
                                   -1).astype(jnp.int32)
         self.t_pad = self.n_chunks * CHUNK
 
-    def _components(self, rays):
-        n = rays.origin.shape[0]
-        rows = -(-n // RAYS)
-        rows = -(-rows // SUBROWS) * SUBROWS
-        pad = rows * RAYS - n
+    def _components(self, ray_batch):
+        n = ray_batch.origin.shape[0]
+        rows = -(-n // self.rays)
+        rows = -(-rows // self.subrows) * self.subrows
+        pad = rows * self.rays - n
 
         def prep(a, fill):
             a = jnp.concatenate([a, jnp.full(pad, fill, a.dtype)])
-            return a.reshape(rows, RAYS)
+            return a.reshape(rows, self.rays)
+
+        rays = ray_batch
 
         comps = [prep(rays.origin[:, i], 0.0) for i in range(3)]
         comps += [prep(rays.dir[:, i], 1.0) for i in range(3)]
@@ -569,10 +598,11 @@ class TreeletTracer:
                 t_max=rays.t_max[perm])
         comps, n = self._components(rays)
         t, packed = _trace_blocks(
-            self.boxes, self.splits, tuple(comps),
+            self.boxes, self.table, tuple(comps),
             kind=self.kind, n_chunks=self.n_chunks, t_count=self.t_count,
             nf=N_FIELDS[self.kind], treelet=self.treelet,
-            any_hit=any_hit, interpret=self.interpret)
+            any_hit=any_hit, rays=self.rays, subrows=self.subrows,
+            interpret=self.interpret)
         t = t.reshape(-1)[:n]
         packed = packed.reshape(-1)[:n]
         # (treelet, slot) -> global prim id; a small XLA gather outside the
@@ -586,38 +616,45 @@ class TreeletTracer:
         return t, idx
 
 
-def tri_tracer(p0, p1, p2, global_base, interpret=False, treelet=TREELET):
+def tri_tracer(p0, p1, p2, global_base, interpret=False, treelet=TREELET,
+               **kw):
     p0 = np.asarray(p0, np.float32)
     p1 = np.asarray(p1, np.float32)
     p2 = np.asarray(p2, np.float32)
     lo, hi = bvh_mod.triangle_bboxes(p0, p1, p2)
     return TreeletTracer(KIND_TRI, _tri_fields(p0, p1, p2), lo, hi,
-                         global_base, interpret=interpret, treelet=treelet)
+                         global_base, interpret=interpret, treelet=treelet,
+                         **kw)
 
 
-def sphere_tracer(c, r, global_base, interpret=False, treelet=TREELET):
+def sphere_tracer(c, r, global_base, interpret=False, treelet=TREELET,
+                  **kw):
     c = np.asarray(c, np.float32)
     r = np.asarray(r, np.float32)
     lo, hi = c - r[:, None], c + r[:, None]
     return TreeletTracer(KIND_SPHERE, _sphere_fields(c, r), lo, hi,
-                         global_base, interpret=interpret, treelet=treelet)
+                         global_base, interpret=interpret, treelet=treelet,
+                         **kw)
 
 
-def quad_tracer(o, u, v, global_base, interpret=False, treelet=TREELET):
+def quad_tracer(o, u, v, global_base, interpret=False, treelet=TREELET,
+                **kw):
     o = np.asarray(o, np.float32)
     u = np.asarray(u, np.float32)
     v = np.asarray(v, np.float32)
     corners = np.stack([o, o + u, o + v, o + u + v])
     return TreeletTracer(KIND_QUAD, _quad_fields(o, u, v),
                          corners.min(0), corners.max(0),
-                         global_base, interpret=interpret, treelet=treelet)
+                         global_base, interpret=interpret, treelet=treelet,
+                         **kw)
 
 
-def disk_tracer(c, n, radial, global_base, interpret=False, treelet=TREELET):
+def disk_tracer(c, n, radial, global_base, interpret=False, treelet=TREELET,
+                **kw):
     c = np.asarray(c, np.float32)
     n = np.asarray(n, np.float32)
     radial = np.asarray(radial, np.float32)
     r = np.sqrt((radial * radial).sum(1, keepdims=True))
     return TreeletTracer(KIND_DISK, _disk_fields(c, n, radial),
                          c - r, c + r, global_base,
-                         interpret=interpret, treelet=treelet)
+                         interpret=interpret, treelet=treelet, **kw)
