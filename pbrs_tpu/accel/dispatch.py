@@ -9,19 +9,53 @@ from . import trace_pallas
 
 
 def make_trace_fns(scene, use_pallas: bool | None = None, interpret=False):
-    """Returns (intersect_fn, occlude_fn) for the scene geometry."""
+    """Returns (intersect_fn, occlude_fn) for the scene geometry,
+    including any trace-time instance groups (accel/instanced.py)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     geom = scene.geom
     if not use_pallas:
-        return (
-            lambda rays: isect_mod.intersect(geom, rays),
-            lambda rays: isect_mod.occluded(geom, rays),
-        )
-    tracer = trace_pallas.PallasTracer(geom, interpret=interpret)
+        base_isect = lambda rays: isect_mod.intersect(geom, rays)
+        base_occl = lambda rays: isect_mod.occluded(geom, rays)
+    else:
+        tracer = trace_pallas.PallasTracer(geom, interpret=interpret)
+
+        def base_isect(rays):
+            t, idx = tracer.trace(rays)
+            return isect_mod.hit_from_t_idx(geom, rays, t, idx)
+
+        base_occl = tracer.occluded
+
+    groups = getattr(scene, "instanced", ())
+    if not groups:
+        return base_isect, base_occl
+
+    from . import instanced as inst_mod
+
+    # Per-group master tracers (t-only + any-hit), Pallas when available.
+    group_fns = []
+    for grp in groups:
+        if use_pallas:
+            mtracer = trace_pallas.PallasTracer(grp.geom, interpret=interpret)
+            t_fn = (lambda tr: lambda _g, r: tr.trace(r))(mtracer)
+            o_fn = (lambda tr: lambda _g, r: tr.occluded(r))(mtracer)
+        else:
+            t_fn = inst_mod.intersect_t
+            o_fn = isect_mod.occluded
+        group_fns.append((grp, t_fn, o_fn))
 
     def intersect_fn(rays):
-        t, idx = tracer.trace(rays)
-        return isect_mod.hit_from_t_idx(geom, rays, t, idx)
+        hit = base_isect(rays)
+        for grp, t_fn, _ in group_fns:
+            t, inst, win = inst_mod.intersect_t_group(grp, rays, t_fn)
+            gh = inst_mod.hit_from_group(grp, rays, t, inst, win)
+            hit = inst_mod.merge_hits(hit, gh)
+        return hit
 
-    return intersect_fn, tracer.occluded
+    def occlude_fn(rays):
+        blocked = base_occl(rays)
+        for grp, _, o_fn in group_fns:
+            blocked = blocked | inst_mod.occluded_group(grp, rays, o_fn)
+        return blocked
+
+    return intersect_fn, occlude_fn

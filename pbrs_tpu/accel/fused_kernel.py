@@ -42,6 +42,8 @@ INV_PI = 1.0 / np.pi
 def scene_supports_fused(scene) -> bool:
     """Fast-path eligibility: Lambert-only solid materials, quad area
     lights, <=1 area light arm complexity, gradient/const/none env."""
+    if getattr(scene, "instanced", ()):
+        return False  # trace-time instance groups -> general path
     mt = scene.materials
     if tuple(mt.present_kinds) not in ((lb.LAMBERT,), ()):
         return False

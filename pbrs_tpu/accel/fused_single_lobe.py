@@ -54,6 +54,8 @@ SLOT_COLS = 15
 
 def scene_supports_single_lobe(scene) -> bool:
     """Fast-path eligibility for the generalized single-lobe kernel."""
+    if getattr(scene, "instanced", ()):
+        return False  # trace-time instance groups -> general path
     mt = scene.materials
     if mt.textured_slots:
         return False

@@ -87,6 +87,9 @@ class PbrtLoader:
         self.named_textures: dict[str, int] = {}
         self.named_materials: dict[str, int] = {}
         self.objects: dict[str, tuple] = {}  # name -> (def_ctm, items)
+        # name -> [master GeometryBuilder, [4x4 instance transforms]];
+        # materialized as trace-time instance groups at end of load.
+        self.object_masters: dict[str, list] = {}
         self.default_light_mtls: dict[tuple, int] = {}
         self._mtl_cache: dict = {}
         self.film_res = None
@@ -148,6 +151,9 @@ class PbrtLoader:
         # here non-identity world transforms are folded into the CTM root
         # before traversal, so nothing to do.
         self.finish_camera()
+        for master, tfs in self.object_masters.values():
+            if tfs:
+                self.b.add_instance_group(master, tfs)
         return self.b.build()
 
     def consume_options(self, options):
@@ -260,26 +266,68 @@ class PbrtLoader:
         else:
             log.error("unhandled world item %r", tag)
 
+    @staticmethod
+    def _children_have_arealight(children):
+        for item in children:
+            tag = item[0]
+            if tag == "arealight":
+                return True
+            if tag in ("attribute_block", "transform_block", "object"):
+                kids = item[-1]
+                if isinstance(kids, (list, tuple)) and (
+                        PbrtLoader._children_have_arealight(kids)):
+                    return True
+        return False
+
     def object_instance(self, name):
-        """Replay a recorded object with CTM = instance_ctm ∘ def_ctm⁻¹ ∘ …
-        PBRT semantics: object geometry recorded in object space (relative
-        to the CTM at ObjectBegin); instancing applies the instance CTM."""
+        """Instance a recorded object as a trace-time instance group:
+        the object's geometry is replayed ONCE into an object-space master
+        `GeometryBuilder` (stored once on device), and each ObjectInstance
+        appends only a 4x4 transform — O(1) geometry per instance, exact
+        under any affine, like the reference's transform-at-intersect
+        Instance (tlas/src/instance.rs:50-67; the reference's own
+        ObjectBlock loader is unimplemented!, loader.rs:768-782).
+
+        Emissive objects (an AreaLightSource inside the block) fall back to
+        geometry replay so the light sampling records land in world space.
+        """
         if name not in self.objects:
             log.error("unknown object %r", name)
             return
         def_ctm, children = self.objects[name]
-        inst_ctm = self.ctm[-1]
-        # Geometry inside the block was declared with CTMs that already
-        # include def_ctm; replace that prefix with inst_ctm.
-        replay = inst_ctm @ np.linalg.inv(def_ctm.astype(np.float64)).astype(
-            np.float32
-        )
-        self.ctm.append(replay @ def_ctm)
-        saved_mtl, saved_light = self.current_mtl, self.current_arealight
-        for child in children:
-            self.world_item(child)
-        self.ctm.pop()
-        self.current_mtl, self.current_arealight = saved_mtl, saved_light
+        inst_ctm = self.ctm[-1].copy()
+        if self._children_have_arealight(children):
+            # Replay path: re-root the block's CTM prefix at the instance
+            # CTM (duplicates geometry; only used for emissive objects).
+            replay = inst_ctm @ np.linalg.inv(
+                def_ctm.astype(np.float64)).astype(np.float32)
+            self.ctm.append(replay @ def_ctm)
+            saved_mtl, saved_light = self.current_mtl, self.current_arealight
+            for child in children:
+                self.world_item(child)
+            self.ctm.pop()
+            self.current_mtl, self.current_arealight = saved_mtl, saved_light
+            return
+        if name not in self.object_masters:
+            # Build the object-space master once: replay children with an
+            # identity CTM base, redirecting geometry into a fresh builder.
+            from ...shapes.tables import GeometryBuilder
+
+            master = GeometryBuilder()
+            self.object_masters[name] = [master, []]
+            saved_geo = self.b.geometry
+            self.b.geometry = master
+            self.ctm.append(np.eye(4, dtype=np.float32))
+            saved_mtl, saved_light = self.current_mtl, self.current_arealight
+            try:
+                for child in children:
+                    self.world_item(child)
+            finally:
+                self.ctm.pop()
+                self.b.geometry = saved_geo
+                self.current_mtl = saved_mtl
+                self.current_arealight = saved_light
+        self.object_masters[name][1].append(inst_ctm)
 
     # ------------------------------------------------------------------
     def _light_material(self, lum):
@@ -306,10 +354,14 @@ class PbrtLoader:
         g = self.b.geometry
         if impl == "sphere":
             radius = params.number("radius", 1.0)
+            if self._route_nonuniform(impl, radius, 0.0, ctm, mat):
+                return
             g.add_sphere((0, 0, 0), radius, mat, transform=ctm)
         elif impl == "disk":
             radius = params.number("radius", 1.0)
             height = params.number("height", 0.0)
+            if self._route_nonuniform(impl, radius, height, ctm, mat):
+                return
             g.add_disk((0, 0, height), (0, 0, 1.0), (radius, 0, 0), mat,
                        transform=ctm)
         elif impl in ("trianglemesh", "loopsubdiv", "plymesh"):
@@ -317,6 +369,27 @@ class PbrtLoader:
             g.add_mesh(pos, idx, mat, normals=nrm, uvs=uv, transform=ctm)
         else:
             log.error("unsupported shape %s", impl)
+
+    def _route_nonuniform(self, impl, radius, height, ctm, mat) -> bool:
+        """Spheres/disks under a non-similarity CTM (shear / non-uniform
+        scale) can't live in the baked world-space tables — route them
+        through a single-instance trace-time group so the ellipsoid is
+        exact (fixes the round-1 cbrt(|det|) approximation, ADVICE #2).
+        Skipped while replaying into an object-space master (the OUTER
+        instance transform handles world placement there)."""
+        from ...shapes.tables import GeometryBuilder, _is_similarity
+
+        if _is_similarity(np.asarray(ctm, np.float64)[:3, :3]):
+            return False
+        if any(self.b.geometry is m for m, _ in self.object_masters.values()):
+            return False  # inside a master replay: keep baked behavior
+        master = GeometryBuilder()
+        if impl == "sphere":
+            master.add_sphere((0, 0, 0), radius, mat)
+        else:
+            master.add_disk((0, 0, height), (0, 0, 1.0), (radius, 0, 0), mat)
+        self.b.add_instance_group(master, [np.asarray(ctm, np.float64)])
+        return True
 
     def _mesh_data(self, impl, params):
         if impl == "plymesh":

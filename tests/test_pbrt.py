@@ -151,9 +151,13 @@ WorldEnd
     path = tmp_path / "obj.pbrt"
     path.write_text(src)
     scene = pbrt_loader.build_scene(str(path))
-    centers = np.asarray(scene.geom.sph_center)
-    assert centers.shape[0] == 2
-    got = {tuple(c.round(4)) for c in centers}
+    # ObjectInstance builds a trace-time instance group: one master sphere
+    # stored once + two transforms (round-2: replaces geometry replay).
+    assert len(scene.instanced) == 1
+    grp = scene.instanced[0]
+    assert grp.geom.sph_center.shape[0] == 1
+    assert grp.fwd.shape[0] == 2
+    got = {tuple(np.asarray(f)[:, 3].round(4)) for f in grp.fwd}
     assert (5.0, 0.0, 0.0) in got and (0.0, 7.0, 0.0) in got
 
 
