@@ -171,6 +171,23 @@ def main():
     ))
     print(json.dumps(results[-1]), file=sys.stderr, flush=True)
 
+    # BASELINE configs 4+5: the authored PBRT interior (scenes/interior) —
+    # image env light, mixed materials, textures, PLY meshes, trace-time
+    # ObjectInstance groups — through the full file->parse->load->render
+    # pipeline. Config 5 measures per-sample launches and extrapolates the
+    # wall-clock to the 1024-spp target (launches are identical per sample).
+    from pbrs_tpu.scene.pbrt import loader as pbrt_loader
+
+    interior = pbrt_loader.build_scene("scenes/interior/interior.pbrt")
+    results.append(run_config(
+        "interior_instanced_mis_1024", interior, (1024, 1024), 4, 5,
+    ))
+    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+    results.append(run_config(
+        "interior_pbrt_1920x1080_1024spp", interior, (1920, 1080), 1024, 8,
+    ))
+    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+
     with open("benchmarks.json", "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"benchmarks": len(results)}))

@@ -509,6 +509,8 @@ class PbrtLoader:
             return (default_gray,) * 3, -1
         key, value = hit
         stype = key.split()[0] if " " in key else "rgb"
+        if isinstance(value, list) and value and isinstance(value[0], str):
+            value = value[0]  # bracketed string value: ["texname"]
         if stype == "texture" or (isinstance(value, str)
                                   and value in self.named_textures):
             return (0, 0, 0), self.named_textures.get(value, -1)

@@ -50,6 +50,8 @@ class ParameterSet:
         if hit is None:
             return default
         _, v = hit
+        if isinstance(v, list) and v and isinstance(v[0], str):
+            v = v[0]  # pbrt allows bracketed string values: ["foo.png"]
         return v if isinstance(v, str) else default
 
     def numbers(self, name, default=None):
