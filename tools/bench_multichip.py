@@ -1,0 +1,98 @@
+"""Multi-chip scaling benchmark on a virtual CPU device mesh.
+
+Measures `parallel.render_image_sharded` wall-clock on 1 vs N virtual
+devices (XLA host-platform devices) and records scaling efficiency to
+MULTICHIP_BENCH.json. Real multi-chip hardware is not available in this
+environment; virtual CPU devices exercise the identical shard_map + psum
+program XLA would partition over ICI, so the efficiency number tracks the
+sharding overhead (collective + partition) rather than raw chip speed.
+
+Run:  python tools/bench_multichip.py  [n_devices] [size] [spp]
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+n_dev = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n_dev}"
+    ).strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from pbrs_tpu import parallel  # noqa: E402
+from pbrs_tpu.geometry import camera as cam_mod  # noqa: E402
+from pbrs_tpu.scene import presets  # noqa: E402
+
+
+def time_mesh(scene, spp, n_dp, n_sp, iters=2):
+    mesh = parallel.make_mesh(n_dp, n_sp,
+                              devices=jax.devices()[: n_dp * n_sp])
+    img = parallel.render_image_sharded(scene, spp, mesh, max_depth=5)
+    jax.block_until_ready(img)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        img = parallel.render_image_sharded(scene, spp, mesh, max_depth=5)
+        jax.block_until_ready(img)
+        best = min(best, time.perf_counter() - t0)
+    return best, float(np.abs(np.asarray(img)).sum())
+
+
+def main():
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    spp = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    scene = presets.cornell_box()
+    cam = scene.camera
+    fresh = cam_mod.make_camera((size, size), 40.0)
+    scene = scene.replace(camera=fresh.replace(
+        center=cam.center, orientation=cam.orientation,
+        a=cam.a * ((cam.width // 2) / (size // 2)),
+        b=cam.b * ((cam.height // 2) / (size // 2)), c=cam.c))
+
+    # All layouts run the same total work on the same physical CPU, so the
+    # honest metric is overhead_ratio = wall_N / wall_1: ~1.0 means the
+    # partitioned program (shard_map + psum) adds no overhead beyond the
+    # unsharded one — the quantity that matters for ICI scaling, since
+    # per-chip compute is embarrassingly parallel in this renderer.
+    t1, c1 = time_mesh(scene, spp, 1, 1)
+    rows = [{"devices": 1, "layout": "dp1xsp1", "wall_s": round(t1, 3),
+             "overhead_ratio": 1.0, "checksum": round(c1, 1)}]
+    for (dp, sp) in ((n_dev, 1), (n_dev // 2, 2), (1, n_dev)):
+        if dp * sp != n_dev or dp < 1:
+            continue
+        t, c = time_mesh(scene, spp, dp, sp)
+        rows.append({
+            "devices": n_dev, "layout": f"dp{dp}xsp{sp}",
+            "wall_s": round(t, 3),
+            "overhead_ratio": round(t / t1, 3),
+            "checksum": round(c, 1),
+        })
+        print(rows[-1], flush=True)
+
+    out = {
+        "config": f"cornell_{size}x{size}_{spp}spp_depth5",
+        "platform": "cpu-virtual-devices",
+        "note": ("virtual host devices run the same total FLOPs on one "
+                 "physical CPU; overhead_ratio ~ 1.0 means the shard_map+"
+                 "psum partitioning adds no cost over the unsharded "
+                 "program, which bounds the sharding overhead of the "
+                 "dp/sp layout on real chips (per-chip work is "
+                 "embarrassingly parallel)"),
+        "rows": rows,
+    }
+    with open("MULTICHIP_BENCH.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"written": "MULTICHIP_BENCH.json"}))
+
+
+if __name__ == "__main__":
+    main()
