@@ -255,401 +255,422 @@ def _bounce_kernel(
     mats_ref (SMEM): [M, 6] albedo rgb + emission rgb.
     lights_ref (SMEM): [A, 12] quad origin/u/v + emit rgb.
     """
-    rox, roy, roz = ox[...], oy[...], oz[...]
-    rdx, rdy, rdz = dx[...], dy[...], dz[...]
-    beta = (beta_r[...], beta_g[...], beta_b[...])
-    alive = alive_in[...] > 0
-    pix = pixel[...].astype(jnp.uint32)
-    smp_id = sample[...].astype(jnp.uint32)
-    seed = ints_ref[0].astype(jnp.uint32)
-    bounce = ints_ref[1].astype(jnp.uint32)
-    inf = jnp.full(rox.shape, jnp.inf, jnp.float32)
+    # Whole-block early-out (see fused_single_lobe): all-dead blocks write
+    # pass-through outputs and skip the bounce body entirely.
+    _zzf = jnp.zeros(ox.shape, jnp.float32)
+    _zzi = jnp.zeros(ox.shape, jnp.int32)
+    rad_r[...] = _zzf
+    rad_g[...] = _zzf
+    rad_b[...] = _zzf
+    nox[...] = ox[...]
+    noy[...] = oy[...]
+    noz[...] = oz[...]
+    ndx[...] = dx[...]
+    ndy[...] = dy[...]
+    ndz[...] = dz[...]
+    beta_r_o[...] = beta_r[...]
+    beta_g_o[...] = beta_g[...]
+    beta_b_o[...] = beta_b[...]
+    alive_out[...] = _zzi
+    raycnt[...] = _zzf
 
-    n_rays = jnp.zeros((), jnp.float32)
-    n_rays += jnp.sum(alive.astype(jnp.float32))
+    @pl.when(jnp.any(alive_in[...] > 0))
+    def _run_block():
+        rox, roy, roz = ox[...], oy[...], oz[...]
+        rdx, rdy, rdz = dx[...], dy[...], dz[...]
+        beta = (beta_r[...], beta_g[...], beta_b[...])
+        alive = alive_in[...] > 0
+        pix = pixel[...].astype(jnp.uint32)
+        smp_id = sample[...].astype(jnp.uint32)
+        seed = ints_ref[0].astype(jnp.uint32)
+        bounce = ints_ref[1].astype(jnp.uint32)
+        inf = jnp.full(rox.shape, jnp.inf, jnp.float32)
 
-    # ---- closest hit + detail ----
-    t, pid = _trace_tables(cols, counts, rox, roy, roz, rdx, rdy, rdz, inf)
-    hit = t < BIG
-    t_safe = jnp.where(hit, t, 1.0)
+        n_rays = jnp.zeros((), jnp.float32)
+        n_rays += jnp.sum(alive.astype(jnp.float32))
 
-    n_sph, n_quad, n_tri, n_disk = counts
-    # Detail via a masked sweep over the prim bank (same loops, winner-only
-    # updates). For table scenes the bank is tiny.
-    px = rox + t_safe * rdx
-    py = roy + t_safe * rdy
-    pz = roz + t_safe * rdz
-    nx = jnp.zeros_like(rox)
-    ny = jnp.zeros_like(rox)
-    nz = jnp.ones_like(rox)
-    tx = jnp.ones_like(rox)
-    ty = jnp.zeros_like(rox)
-    tz = jnp.zeros_like(rox)
-    mat_id = jnp.full(rox.shape, -1, jnp.int32)
+        # ---- closest hit + detail ----
+        t, pid = _trace_tables(cols, counts, rox, roy, roz, rdx, rdy, rdz, inf)
+        hit = t < BIG
+        t_safe = jnp.where(hit, t, 1.0)
 
-    def detail_sphere(i, carry):
-        nx, ny, nz, tx, ty, tz, pxx, pyy, pzz, mat = carry
-        sel = pid == i
-        p = lambda j: cols[j][i]
-        cx, cy, cz, r = p(0), p(1), p(2), p(3)
-        gx, gy, gz = px - cx, py - cy, pz - cz
-        inv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
-        ux, uy, uz = gx * inv, gy * inv, gz * inv
-        # dpdu = normalize(-n.y, n.x, 0) with X fallback
-        # [ref shapes/intersect._sphere_detail]
-        h2 = ux * ux + uy * uy
-        hinv = jax.lax.rsqrt(jnp.maximum(h2, 1e-30))
-        dx_ = jnp.where(h2 < 1e-12, 1.0, -uy * hinv)
-        dy_ = jnp.where(h2 < 1e-12, 0.0, ux * hinv)
-        # push out + face forward
-        s = jnp.where(ux * rdx + uy * rdy + uz * rdz > 0.0, -1.0, 1.0)
-        r_out = r * 1.00001
-        return (
-            jnp.where(sel, s * ux, nx), jnp.where(sel, s * uy, ny),
-            jnp.where(sel, s * uz, nz),
-            jnp.where(sel, dx_, tx), jnp.where(sel, dy_, ty),
-            jnp.where(sel, 0.0, tz),
-            jnp.where(sel, cx + ux * r_out, pxx),
-            jnp.where(sel, cy + uy * r_out, pyy),
-            jnp.where(sel, cz + uz * r_out, pzz),
-            jnp.where(sel, cols[13][i].astype(jnp.int32), mat),
-        )
+        n_sph, n_quad, n_tri, n_disk = counts
+        # Detail via a masked sweep over the prim bank (same loops, winner-only
+        # updates). For table scenes the bank is tiny.
+        px = rox + t_safe * rdx
+        py = roy + t_safe * rdy
+        pz = roz + t_safe * rdz
+        nx = jnp.zeros_like(rox)
+        ny = jnp.zeros_like(rox)
+        nz = jnp.ones_like(rox)
+        tx = jnp.ones_like(rox)
+        ty = jnp.zeros_like(rox)
+        tz = jnp.zeros_like(rox)
+        mat_id = jnp.full(rox.shape, -1, jnp.int32)
 
-    def detail_quad(i, carry):
-        nx, ny, nz, tx, ty, tz, pxx, pyy, pzz, mat = carry
-        sel = pid == (n_sph + i)
-        p = lambda j: cols[j][n_sph + i]
-        qnx, qny, qnz = p(9), p(10), p(11)
-        inv = jax.lax.rsqrt(jnp.maximum(
-            qnx * qnx + qny * qny + qnz * qnz, 1e-30))
-        ux, uy, uz = qnx * inv, qny * inv, qnz * inv
-        s = jnp.where(ux * rdx + uy * rdy + uz * rdz > 0.0, -1.0, 1.0)
-        return (
-            jnp.where(sel, s * ux, nx), jnp.where(sel, s * uy, ny),
-            jnp.where(sel, s * uz, nz),
-            jnp.where(sel, p(3), tx), jnp.where(sel, p(4), ty),
-            jnp.where(sel, p(5), tz),
-            pxx, pyy, pzz,
-            jnp.where(sel, cols[13][n_sph + i].astype(jnp.int32), mat),
-        )
-
-    carry = (nx, ny, nz, tx, ty, tz, px, py, pz, mat_id)
-    carry = jax.lax.fori_loop(0, n_sph, detail_sphere, carry)
-    carry = jax.lax.fori_loop(0, n_quad, detail_quad, carry)
-    nx, ny, nz, tx, ty, tz, px, py, pz, mat_id = carry
-
-    # Shading frame matching vm.orthonormal_frame(normal, dpdu): bitangent
-    # from the hint, Duff ONB fallback on degenerate hints.
-    bx = ny * tz - nz * ty
-    by = nz * tx - nx * tz
-    bz = nx * ty - ny * tx
-    b2 = bx * bx + by * by + bz * bz
-    good = b2 > 1e-12
-    sD = jnp.where(nz >= 0.0, 1.0, -1.0)
-    aD = -1.0 / (sD + nz)
-    bD = nx * ny * aD
-    atx = 1.0 + sD * nx * nx * aD
-    aty = sD * bD
-    atz = -sD * nx
-    fbx = ny * atz - nz * aty
-    fby = nz * atx - nx * atz
-    fbz = nx * aty - ny * atx
-    bx = jnp.where(good, bx, fbx)
-    by = jnp.where(good, by, fby)
-    bz = jnp.where(good, bz, fbz)
-    binv = jax.lax.rsqrt(jnp.maximum(bx * bx + by * by + bz * bz, 1e-30))
-    bx, by, bz = bx * binv, by * binv, bz * binv
-    fx_ = by * nz - bz * ny
-    fy_ = bz * nx - bx * nz
-    fz_ = bx * ny - by * nx
-    # frame columns: t=(fx_,fy_,fz_), b=(bx,by,bz), n
-
-    # ---- material fetch (albedo + emission) ----
-    alb_r = jnp.zeros_like(rox)
-    alb_g = jnp.zeros_like(rox)
-    alb_b = jnp.zeros_like(rox)
-    emi_r = jnp.zeros_like(rox)
-    emi_g = jnp.zeros_like(rox)
-    emi_b = jnp.zeros_like(rox)
-
-    def mat_body(m, carry):
-        ar, ag, ab, er, eg, eb = carry
-        sel = mat_id == m
-        return (
-            jnp.where(sel, mats_ref[m, 0], ar),
-            jnp.where(sel, mats_ref[m, 1], ag),
-            jnp.where(sel, mats_ref[m, 2], ab),
-            jnp.where(sel, mats_ref[m, 3], er),
-            jnp.where(sel, mats_ref[m, 4], eg),
-            jnp.where(sel, mats_ref[m, 5], eb),
-        )
-
-    alb_r, alb_g, alb_b, emi_r, emi_g, emi_b = jax.lax.fori_loop(
-        0, n_mats, mat_body, (alb_r, alb_g, alb_b, emi_r, emi_g, emi_b)
-    )
-
-    # ---- env radiance (miss) ----
-    if env_kind == lt.ENV_GRADIENT:
-        dlen = jax.lax.rsqrt(jnp.maximum(
-            rdx * rdx + rdy * rdy + rdz * rdz, 1e-30))
-        yy = (rdy * dlen + 1.0) * 0.5
-        env_r = scal_ref[0] * yy + scal_ref[3] * (1.0 - yy)
-        env_g = scal_ref[1] * yy + scal_ref[4] * (1.0 - yy)
-        env_b = scal_ref[2] * yy + scal_ref[5] * (1.0 - yy)
-    elif env_kind == lt.ENV_CONST:
-        env_r = jnp.full_like(rox, 1.0) * scal_ref[0]
-        env_g = jnp.full_like(rox, 1.0) * scal_ref[1]
-        env_b = jnp.full_like(rox, 1.0) * scal_ref[2]
-    else:
-        env_r = env_g = env_b = jnp.zeros_like(rox)
-
-    # Emission only on camera segments (no delta lobes in this kernel).
-    # [ref: pathintegrator.rs:19-22]
-    rad_out_r = jnp.zeros_like(rox)
-    rad_out_g = jnp.zeros_like(rox)
-    rad_out_b = jnp.zeros_like(rox)
-    if bounce_is_first:
-        seen_r = jnp.where(hit, emi_r, env_r)
-        seen_g = jnp.where(hit, emi_g, env_g)
-        seen_b = jnp.where(hit, emi_b, env_b)
-        rad_out_r += jnp.where(alive, beta[0] * seen_r, 0.0)
-        rad_out_g += jnp.where(alive, beta[1] * seen_g, 0.0)
-        rad_out_b += jnp.where(alive, beta[2] * seen_b, 0.0)
-
-    alive = alive & hit
-
-    # ---- NEE: pick one light among n_area (+ env) ----
-    has_env = 1 if env_kind != lt.ENV_NONE else 0
-    n_lights = n_area + has_env
-    if n_lights > 0:
-        u_sel = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_SELECT)
-        u_l0 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 0)
-        u_l1 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 1)
-        u_s0 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 0)
-        u_s1 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 1)
-        chosen = jnp.minimum(
-            (u_sel * n_lights).astype(jnp.int32), n_lights - 1
-        )
-        arm_area = chosen < n_area
-        arm_env = ~arm_area
-
-        # Gather chosen quad-light params by masked loop.
-        lqx = jnp.zeros_like(rox); lqy = jnp.zeros_like(rox)
-        lqz = jnp.zeros_like(rox)
-        lux = jnp.zeros_like(rox); luy = jnp.zeros_like(rox)
-        luz = jnp.zeros_like(rox)
-        lvx = jnp.zeros_like(rox); lvy = jnp.zeros_like(rox)
-        lvz = jnp.zeros_like(rox)
-        ler = jnp.zeros_like(rox); leg = jnp.zeros_like(rox)
-        leb = jnp.zeros_like(rox)
-
-        def light_body(a, carry):
-            (qx, qy, qz, ux, uy, uz, vx, vy, vz, er, eg, eb) = carry
-            sel = chosen == a
-            g = lambda j: lights_ref[a, j]
+        def detail_sphere(i, carry):
+            nx, ny, nz, tx, ty, tz, pxx, pyy, pzz, mat = carry
+            sel = pid == i
+            p = lambda j: cols[j][i]
+            cx, cy, cz, r = p(0), p(1), p(2), p(3)
+            gx, gy, gz = px - cx, py - cy, pz - cz
+            inv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
+            ux, uy, uz = gx * inv, gy * inv, gz * inv
+            # dpdu = normalize(-n.y, n.x, 0) with X fallback
+            # [ref shapes/intersect._sphere_detail]
+            h2 = ux * ux + uy * uy
+            hinv = jax.lax.rsqrt(jnp.maximum(h2, 1e-30))
+            dx_ = jnp.where(h2 < 1e-12, 1.0, -uy * hinv)
+            dy_ = jnp.where(h2 < 1e-12, 0.0, ux * hinv)
+            # push out + face forward
+            s = jnp.where(ux * rdx + uy * rdy + uz * rdz > 0.0, -1.0, 1.0)
+            r_out = r * 1.00001
             return (
-                jnp.where(sel, g(0), qx), jnp.where(sel, g(1), qy),
-                jnp.where(sel, g(2), qz), jnp.where(sel, g(3), ux),
-                jnp.where(sel, g(4), uy), jnp.where(sel, g(5), uz),
-                jnp.where(sel, g(6), vx), jnp.where(sel, g(7), vy),
-                jnp.where(sel, g(8), vz), jnp.where(sel, g(9), er),
-                jnp.where(sel, g(10), eg), jnp.where(sel, g(11), eb),
+                jnp.where(sel, s * ux, nx), jnp.where(sel, s * uy, ny),
+                jnp.where(sel, s * uz, nz),
+                jnp.where(sel, dx_, tx), jnp.where(sel, dy_, ty),
+                jnp.where(sel, 0.0, tz),
+                jnp.where(sel, cx + ux * r_out, pxx),
+                jnp.where(sel, cy + uy * r_out, pyy),
+                jnp.where(sel, cz + uz * r_out, pzz),
+                jnp.where(sel, cols[13][i].astype(jnp.int32), mat),
             )
 
-        (lqx, lqy, lqz, lux, luy, luz, lvx, lvy, lvz, ler, leg,
-         leb) = jax.lax.fori_loop(
-            0, n_area, light_body,
-            (lqx, lqy, lqz, lux, luy, luz, lvx, lvy, lvz, ler, leg, leb),
+        def detail_quad(i, carry):
+            nx, ny, nz, tx, ty, tz, pxx, pyy, pzz, mat = carry
+            sel = pid == (n_sph + i)
+            p = lambda j: cols[j][n_sph + i]
+            qnx, qny, qnz = p(9), p(10), p(11)
+            inv = jax.lax.rsqrt(jnp.maximum(
+                qnx * qnx + qny * qny + qnz * qnz, 1e-30))
+            ux, uy, uz = qnx * inv, qny * inv, qnz * inv
+            s = jnp.where(ux * rdx + uy * rdy + uz * rdz > 0.0, -1.0, 1.0)
+            return (
+                jnp.where(sel, s * ux, nx), jnp.where(sel, s * uy, ny),
+                jnp.where(sel, s * uz, nz),
+                jnp.where(sel, p(3), tx), jnp.where(sel, p(4), ty),
+                jnp.where(sel, p(5), tz),
+                pxx, pyy, pzz,
+                jnp.where(sel, cols[13][n_sph + i].astype(jnp.int32), mat),
+            )
+
+        carry = (nx, ny, nz, tx, ty, tz, px, py, pz, mat_id)
+        carry = jax.lax.fori_loop(0, n_sph, detail_sphere, carry)
+        carry = jax.lax.fori_loop(0, n_quad, detail_quad, carry)
+        nx, ny, nz, tx, ty, tz, px, py, pz, mat_id = carry
+
+        # Shading frame matching vm.orthonormal_frame(normal, dpdu): bitangent
+        # from the hint, Duff ONB fallback on degenerate hints.
+        bx = ny * tz - nz * ty
+        by = nz * tx - nx * tz
+        bz = nx * ty - ny * tx
+        b2 = bx * bx + by * by + bz * bz
+        good = b2 > 1e-12
+        sD = jnp.where(nz >= 0.0, 1.0, -1.0)
+        aD = -1.0 / (sD + nz)
+        bD = nx * ny * aD
+        atx = 1.0 + sD * nx * nx * aD
+        aty = sD * bD
+        atz = -sD * nx
+        fbx = ny * atz - nz * aty
+        fby = nz * atx - nx * atz
+        fbz = nx * aty - ny * atx
+        bx = jnp.where(good, bx, fbx)
+        by = jnp.where(good, by, fby)
+        bz = jnp.where(good, bz, fbz)
+        binv = jax.lax.rsqrt(jnp.maximum(bx * bx + by * by + bz * bz, 1e-30))
+        bx, by, bz = bx * binv, by * binv, bz * binv
+        fx_ = by * nz - bz * ny
+        fy_ = bz * nx - bx * nz
+        fz_ = bx * ny - by * nx
+        # frame columns: t=(fx_,fy_,fz_), b=(bx,by,bz), n
+
+        # ---- material fetch (albedo + emission) ----
+        alb_r = jnp.zeros_like(rox)
+        alb_g = jnp.zeros_like(rox)
+        alb_b = jnp.zeros_like(rox)
+        emi_r = jnp.zeros_like(rox)
+        emi_g = jnp.zeros_like(rox)
+        emi_b = jnp.zeros_like(rox)
+
+        def mat_body(m, carry):
+            ar, ag, ab, er, eg, eb = carry
+            sel = mat_id == m
+            return (
+                jnp.where(sel, mats_ref[m, 0], ar),
+                jnp.where(sel, mats_ref[m, 1], ag),
+                jnp.where(sel, mats_ref[m, 2], ab),
+                jnp.where(sel, mats_ref[m, 3], er),
+                jnp.where(sel, mats_ref[m, 4], eg),
+                jnp.where(sel, mats_ref[m, 5], eb),
+            )
+
+        alb_r, alb_g, alb_b, emi_r, emi_g, emi_b = jax.lax.fori_loop(
+            0, n_mats, mat_body, (alb_r, alb_g, alb_b, emi_r, emi_g, emi_b)
         )
 
-        # quad normal + area
-        lnx = luy * lvz - luz * lvy
-        lny = luz * lvx - lux * lvz
-        lnz = lux * lvy - luy * lvx
-        ln2 = jnp.maximum(lnx * lnx + lny * lny + lnz * lnz, 1e-30)
-        area = jnp.sqrt(ln2)
-        inv_ln = jax.lax.rsqrt(ln2)
-        lnx_u, lny_u, lnz_u = lnx * inv_ln, lny * inv_ln, lnz * inv_ln
+        # ---- env radiance (miss) ----
+        if env_kind == lt.ENV_GRADIENT:
+            dlen = jax.lax.rsqrt(jnp.maximum(
+                rdx * rdx + rdy * rdy + rdz * rdz, 1e-30))
+            yy = (rdy * dlen + 1.0) * 0.5
+            env_r = scal_ref[0] * yy + scal_ref[3] * (1.0 - yy)
+            env_g = scal_ref[1] * yy + scal_ref[4] * (1.0 - yy)
+            env_b = scal_ref[2] * yy + scal_ref[5] * (1.0 - yy)
+        elif env_kind == lt.ENV_CONST:
+            env_r = jnp.full_like(rox, 1.0) * scal_ref[0]
+            env_g = jnp.full_like(rox, 1.0) * scal_ref[1]
+            env_b = jnp.full_like(rox, 1.0) * scal_ref[2]
+        else:
+            env_r = env_g = env_b = jnp.zeros_like(rox)
 
-        # ---- light-sampled arm ----
-        ptx = lqx + u_l0 * lux + u_l1 * lvx
-        pty = lqy + u_l0 * luy + u_l1 * lvy
-        ptz = lqz + u_l0 * luz + u_l1 * lvz
-        wlx, wly, wlz = ptx - px, pty - py, ptz - pz
-        d2 = jnp.maximum(wlx * wlx + wly * wly + wlz * wlz, 1e-20)
-        inv_d = jax.lax.rsqrt(d2)
-        wix, wiy, wiz = wlx * inv_d, wly * inv_d, wlz * inv_d
-        cos_l = -(lnx_u * wix + lny_u * wiy + lnz_u * wiz)
-        facing = cos_l > 0.0
-        # pdf = d² / (|cosθl| · A)
-        pdf_l = d2 / jnp.maximum(jnp.abs(cos_l) * area, 1e-20)
-        cos_s = nx * wix + ny * wiy + nz * wiz
-        # f·|cos| for lambert
-        fl = jnp.abs(cos_s) * INV_PI
-        # scatter pdf for MIS weight: cosine-hemisphere
-        pdf_scatter = jnp.maximum(cos_s, 0.0) * INV_PI
-        # shadow ray: spawn eps along normal toward the light; t in [0,1)
-        side = jnp.where(cos_s >= 0.0, 1.0, -1.0)
-        sox = px + side * nx * SPAWN_EPS
-        soy = py + side * ny * SPAWN_EPS
-        soz = pz + side * nz * SPAWN_EPS
-        sdx, sdy, sdz = ptx - sox, pty - soy, ptz - soz
-        occ1 = _occluded(cols, counts, sox, soy, soz, sdx, sdy, sdz,
-                         jnp.full_like(rox, 1.0 - 1e-3))
-        w_l = pdf_l * pdf_l / jnp.maximum(
-            pdf_l * pdf_l + pdf_scatter * pdf_scatter, 1e-30
-        )
-        # Matches the general path (and reference bxdf.rs:540-542): lambert
-        # eval has no hemisphere mask; the MIS weight's scatter pdf is the
-        # hemisphere-clamped cosine density.
-        valid_l = arm_area & facing & ~occ1 & (pdf_l > 0.0)
-        contrib = jnp.where(valid_l, fl * w_l / pdf_l, 0.0)
-        rad_out_r += jnp.where(alive, beta[0] * alb_r * contrib * ler
-                               * n_lights, 0.0)
-        rad_out_g += jnp.where(alive, beta[1] * alb_g * contrib * leg
-                               * n_lights, 0.0)
-        rad_out_b += jnp.where(alive, beta[2] * alb_b * contrib * leb
-                               * n_lights, 0.0)
+        # Emission only on camera segments (no delta lobes in this kernel).
+        # [ref: pathintegrator.rs:19-22]
+        rad_out_r = jnp.zeros_like(rox)
+        rad_out_g = jnp.zeros_like(rox)
+        rad_out_b = jnp.zeros_like(rox)
+        if bounce_is_first:
+            seen_r = jnp.where(hit, emi_r, env_r)
+            seen_g = jnp.where(hit, emi_g, env_g)
+            seen_b = jnp.where(hit, emi_b, env_b)
+            rad_out_r += jnp.where(alive, beta[0] * seen_r, 0.0)
+            rad_out_g += jnp.where(alive, beta[1] * seen_g, 0.0)
+            rad_out_b += jnp.where(alive, beta[2] * seen_b, 0.0)
 
-        # ---- BSDF-sampled arm (area MIS + env) ----
-        # cosine hemisphere sample in the hit frame; single-lobe sampling
-        # consumes (v, remapped u) [ref: src/bsdf.rs:79].
-        ux_ = u_s1 * 2.0 - 1.0
-        uy_ = u_s0 * 2.0 - 1.0
+        alive = alive & hit
+
+        # ---- NEE: pick one light among n_area (+ env) ----
+        has_env = 1 if env_kind != lt.ENV_NONE else 0
+        n_lights = n_area + has_env
+        if n_lights > 0:
+            u_sel = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_SELECT)
+            u_l0 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 0)
+            u_l1 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 1)
+            u_s0 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 0)
+            u_s1 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 1)
+            chosen = jnp.minimum(
+                (u_sel * n_lights).astype(jnp.int32), n_lights - 1
+            )
+            arm_area = chosen < n_area
+            arm_env = ~arm_area
+
+            # Gather chosen quad-light params by masked loop.
+            lqx = jnp.zeros_like(rox); lqy = jnp.zeros_like(rox)
+            lqz = jnp.zeros_like(rox)
+            lux = jnp.zeros_like(rox); luy = jnp.zeros_like(rox)
+            luz = jnp.zeros_like(rox)
+            lvx = jnp.zeros_like(rox); lvy = jnp.zeros_like(rox)
+            lvz = jnp.zeros_like(rox)
+            ler = jnp.zeros_like(rox); leg = jnp.zeros_like(rox)
+            leb = jnp.zeros_like(rox)
+
+            def light_body(a, carry):
+                (qx, qy, qz, ux, uy, uz, vx, vy, vz, er, eg, eb) = carry
+                sel = chosen == a
+                g = lambda j: lights_ref[a, j]
+                return (
+                    jnp.where(sel, g(0), qx), jnp.where(sel, g(1), qy),
+                    jnp.where(sel, g(2), qz), jnp.where(sel, g(3), ux),
+                    jnp.where(sel, g(4), uy), jnp.where(sel, g(5), uz),
+                    jnp.where(sel, g(6), vx), jnp.where(sel, g(7), vy),
+                    jnp.where(sel, g(8), vz), jnp.where(sel, g(9), er),
+                    jnp.where(sel, g(10), eg), jnp.where(sel, g(11), eb),
+                )
+
+            (lqx, lqy, lqz, lux, luy, luz, lvx, lvy, lvz, ler, leg,
+             leb) = jax.lax.fori_loop(
+                0, n_area, light_body,
+                (lqx, lqy, lqz, lux, luy, luz, lvx, lvy, lvz, ler, leg, leb),
+            )
+
+            # quad normal + area
+            lnx = luy * lvz - luz * lvy
+            lny = luz * lvx - lux * lvz
+            lnz = lux * lvy - luy * lvx
+            ln2 = jnp.maximum(lnx * lnx + lny * lny + lnz * lnz, 1e-30)
+            area = jnp.sqrt(ln2)
+            inv_ln = jax.lax.rsqrt(ln2)
+            lnx_u, lny_u, lnz_u = lnx * inv_ln, lny * inv_ln, lnz * inv_ln
+
+            # ---- light-sampled arm ----
+            ptx = lqx + u_l0 * lux + u_l1 * lvx
+            pty = lqy + u_l0 * luy + u_l1 * lvy
+            ptz = lqz + u_l0 * luz + u_l1 * lvz
+            wlx, wly, wlz = ptx - px, pty - py, ptz - pz
+            d2 = jnp.maximum(wlx * wlx + wly * wly + wlz * wlz, 1e-20)
+            inv_d = jax.lax.rsqrt(d2)
+            wix, wiy, wiz = wlx * inv_d, wly * inv_d, wlz * inv_d
+            cos_l = -(lnx_u * wix + lny_u * wiy + lnz_u * wiz)
+            facing = cos_l > 0.0
+            # pdf = d² / (|cosθl| · A)
+            pdf_l = d2 / jnp.maximum(jnp.abs(cos_l) * area, 1e-20)
+            cos_s = nx * wix + ny * wiy + nz * wiz
+            # f·|cos| for lambert
+            fl = jnp.abs(cos_s) * INV_PI
+            # scatter pdf for MIS weight: cosine-hemisphere
+            pdf_scatter = jnp.maximum(cos_s, 0.0) * INV_PI
+            # shadow ray: spawn eps along normal toward the light; t in [0,1)
+            side = jnp.where(cos_s >= 0.0, 1.0, -1.0)
+            sox = px + side * nx * SPAWN_EPS
+            soy = py + side * ny * SPAWN_EPS
+            soz = pz + side * nz * SPAWN_EPS
+            sdx, sdy, sdz = ptx - sox, pty - soy, ptz - soz
+            occ1 = _occluded(cols, counts, sox, soy, soz, sdx, sdy, sdz,
+                             jnp.full_like(rox, 1.0 - 1e-3))
+            w_l = pdf_l * pdf_l / jnp.maximum(
+                pdf_l * pdf_l + pdf_scatter * pdf_scatter, 1e-30
+            )
+            # Matches the general path (and reference bxdf.rs:540-542): lambert
+            # eval has no hemisphere mask; the MIS weight's scatter pdf is the
+            # hemisphere-clamped cosine density.
+            valid_l = arm_area & facing & ~occ1 & (pdf_l > 0.0)
+            contrib = jnp.where(valid_l, fl * w_l / pdf_l, 0.0)
+            rad_out_r += jnp.where(alive, beta[0] * alb_r * contrib * ler
+                                   * n_lights, 0.0)
+            rad_out_g += jnp.where(alive, beta[1] * alb_g * contrib * leg
+                                   * n_lights, 0.0)
+            rad_out_b += jnp.where(alive, beta[2] * alb_b * contrib * leb
+                                   * n_lights, 0.0)
+
+            # ---- BSDF-sampled arm (area MIS + env) ----
+            # cosine hemisphere sample in the hit frame; single-lobe sampling
+            # consumes (v, remapped u) [ref: src/bsdf.rs:79].
+            ux_ = u_s1 * 2.0 - 1.0
+            uy_ = u_s0 * 2.0 - 1.0
+            rr = jnp.maximum(jnp.abs(ux_), jnp.abs(uy_))
+            hyp = jnp.sqrt(jnp.maximum(ux_ * ux_ + uy_ * uy_, 1e-20))
+            ddx = jnp.where((ux_ == 0.0) & (uy_ == 0.0), 0.0, rr * ux_ / hyp)
+            ddy = jnp.where((ux_ == 0.0) & (uy_ == 0.0), 0.0, rr * uy_ / hyp)
+            ddz = jnp.sqrt(jnp.maximum(1.0 - ddx * ddx - ddy * ddy, 0.0))
+            w2x = ddx * fx_ + ddy * bx + ddz * nx
+            w2y = ddx * fy_ + ddy * by + ddz * ny
+            w2z = ddx * fz_ + ddy * bz + ddz * nz
+            cos2 = jnp.maximum(ddz, 0.0)
+            pdf2 = cos2 * INV_PI
+            f2 = cos2 * INV_PI  # f·|cos| / albedo
+
+            # does wi2 hit the chosen light quad?
+            denom = w2x * lnx_u + w2y * lny_u + w2z * lnz_u
+            denom_s = jnp.where(denom == 0.0, 1.0, denom)
+            s2ox = px + jnp.where(cos2 >= 0, 1.0, -1.0) * nx * SPAWN_EPS
+            s2oy = py + jnp.where(cos2 >= 0, 1.0, -1.0) * ny * SPAWN_EPS
+            s2oz = pz + jnp.where(cos2 >= 0, 1.0, -1.0) * nz * SPAWN_EPS
+            t_hit = ((lqx - s2ox) * lnx_u + (lqy - s2oy) * lny_u
+                     + (lqz - s2oz) * lnz_u) / denom_s
+            hxq = s2ox + t_hit * w2x - lqx
+            hyq = s2oy + t_hit * w2y - lqy
+            hzq = s2oz + t_hit * w2z - lqz
+            cqx = hyq * lvz - hzq * lvy
+            cqy = hzq * lvx - hxq * lvz
+            cqz = hxq * lvy - hyq * lvx
+            uu = (cqx * lnx + cqy * lny + cqz * lnz) / ln2
+            cqx = luy * hzq - luz * hyq
+            cqy = luz * hxq - lux * hzq
+            cqz = lux * hyq - luy * hxq
+            vv = (cqx * lnx + cqy * lny + cqz * lnz) / ln2
+            hit_l = (
+                (denom != 0.0) & (t_hit >= T_MIN)
+                & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0) & (vv <= 1.0)
+            )
+            facing2 = -(lnx_u * w2x + lny_u * w2y + lnz_u * w2z) > 0.0
+            pdf_l2 = (t_hit * t_hit) * (w2x * w2x + w2y * w2y + w2z * w2z) \
+                / jnp.maximum(
+                    jnp.abs(lnx_u * w2x + lny_u * w2y + lnz_u * w2z) * area,
+                    1e-20,
+                )
+            # shadow trace along wi2 — bounded to the light point on the area
+            # arm, unbounded on the env arm.
+            tmax2 = jnp.where(arm_area & hit_l, t_hit * (1.0 - 1e-3), inf)
+            occ2 = _occluded(cols, counts, s2ox, s2oy, s2oz,
+                             w2x, w2y, w2z, tmax2)
+            w_b = pdf2 * pdf2 / jnp.maximum(pdf2 * pdf2 + pdf_l2 * pdf_l2, 1e-30)
+            # radiance_to is two-sided in the reference (light/src/lib.rs:141-146)
+            # and in the general path; facing is not tested here.
+            del facing2
+            valid_b = (
+                arm_area & hit_l & ~occ2 & (pdf2 > 0.0) & (pdf_l2 > 0.0)
+            )
+            contrib_b = jnp.where(valid_b, f2 * w_b / jnp.maximum(pdf2, 1e-20),
+                                  0.0)
+            rad_out_r += jnp.where(alive, beta[0] * alb_r * contrib_b * ler
+                                   * n_lights, 0.0)
+            rad_out_g += jnp.where(alive, beta[1] * alb_g * contrib_b * leg
+                                   * n_lights, 0.0)
+            rad_out_b += jnp.where(alive, beta[2] * alb_b * contrib_b * leb
+                                   * n_lights, 0.0)
+
+            if has_env:
+                # env radiance along wi2
+                if env_kind == lt.ENV_GRADIENT:
+                    dl = jax.lax.rsqrt(jnp.maximum(
+                        w2x * w2x + w2y * w2y + w2z * w2z, 1e-30))
+                    yy2 = (w2y * dl + 1.0) * 0.5
+                    er2 = scal_ref[0] * yy2 + scal_ref[3] * (1.0 - yy2)
+                    eg2 = scal_ref[1] * yy2 + scal_ref[4] * (1.0 - yy2)
+                    eb2 = scal_ref[2] * yy2 + scal_ref[5] * (1.0 - yy2)
+                else:
+                    er2 = jnp.full_like(rox, 1.0) * scal_ref[0]
+                    eg2 = jnp.full_like(rox, 1.0) * scal_ref[1]
+                    eb2 = jnp.full_like(rox, 1.0) * scal_ref[2]
+                valid_e = arm_env & ~occ2 & (pdf2 > 0.0)
+                contrib_e = jnp.where(valid_e, f2 / jnp.maximum(pdf2, 1e-20), 0.0)
+                rad_out_r += jnp.where(alive, beta[0] * alb_r * contrib_e * er2
+                                       * n_lights, 0.0)
+                rad_out_g += jnp.where(alive, beta[1] * alb_g * contrib_e * eg2
+                                       * n_lights, 0.0)
+                rad_out_b += jnp.where(alive, beta[2] * alb_b * contrib_e * eb2
+                                       * n_lights, 0.0)
+
+            n_rays += 2.0 * jnp.sum(alive.astype(jnp.float32))
+
+        # ---- BSDF sample for next direction (cosine hemisphere) ----
+        u_b0 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 0)
+        u_b1 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 1)
+        ux_ = u_b1 * 2.0 - 1.0
+        uy_ = u_b0 * 2.0 - 1.0
         rr = jnp.maximum(jnp.abs(ux_), jnp.abs(uy_))
         hyp = jnp.sqrt(jnp.maximum(ux_ * ux_ + uy_ * uy_, 1e-20))
         ddx = jnp.where((ux_ == 0.0) & (uy_ == 0.0), 0.0, rr * ux_ / hyp)
         ddy = jnp.where((ux_ == 0.0) & (uy_ == 0.0), 0.0, rr * uy_ / hyp)
         ddz = jnp.sqrt(jnp.maximum(1.0 - ddx * ddx - ddy * ddy, 0.0))
-        w2x = ddx * fx_ + ddy * bx + ddz * nx
-        w2y = ddx * fy_ + ddy * by + ddz * ny
-        w2z = ddx * fz_ + ddy * bz + ddz * nz
-        cos2 = jnp.maximum(ddz, 0.0)
-        pdf2 = cos2 * INV_PI
-        f2 = cos2 * INV_PI  # f·|cos| / albedo
+        wnx = ddx * fx_ + ddy * bx + ddz * nx
+        wny = ddx * fy_ + ddy * by + ddz * ny
+        wnz = ddx * fz_ + ddy * bz + ddz * nz
+        # throughput: f·cos/pdf = albedo; zero-albedo or emissive-only lanes die
+        nonzero = (alb_r > 0.0) | (alb_g > 0.0) | (alb_b > 0.0)
+        has_lobe = mat_id >= 0
+        alive = alive & nonzero & has_lobe & (ddz > 0.0)
+        nbr = jnp.where(alive, beta[0] * alb_r, beta[0])
+        nbg = jnp.where(alive, beta[1] * alb_g, beta[1])
+        nbb = jnp.where(alive, beta[2] * alb_b, beta[2])
 
-        # does wi2 hit the chosen light quad?
-        denom = w2x * lnx_u + w2y * lny_u + w2z * lnz_u
-        denom_s = jnp.where(denom == 0.0, 1.0, denom)
-        s2ox = px + jnp.where(cos2 >= 0, 1.0, -1.0) * nx * SPAWN_EPS
-        s2oy = py + jnp.where(cos2 >= 0, 1.0, -1.0) * ny * SPAWN_EPS
-        s2oz = pz + jnp.where(cos2 >= 0, 1.0, -1.0) * nz * SPAWN_EPS
-        t_hit = ((lqx - s2ox) * lnx_u + (lqy - s2oy) * lny_u
-                 + (lqz - s2oz) * lnz_u) / denom_s
-        hxq = s2ox + t_hit * w2x - lqx
-        hyq = s2oy + t_hit * w2y - lqy
-        hzq = s2oz + t_hit * w2z - lqz
-        cqx = hyq * lvz - hzq * lvy
-        cqy = hzq * lvx - hxq * lvz
-        cqz = hxq * lvy - hyq * lvx
-        uu = (cqx * lnx + cqy * lny + cqz * lnz) / ln2
-        cqx = luy * hzq - luz * hyq
-        cqy = luz * hxq - lux * hzq
-        cqz = lux * hyq - luy * hxq
-        vv = (cqx * lnx + cqy * lny + cqz * lnz) / ln2
-        hit_l = (
-            (denom != 0.0) & (t_hit >= T_MIN)
-            & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0) & (vv <= 1.0)
-        )
-        facing2 = -(lnx_u * w2x + lny_u * w2y + lnz_u * w2z) > 0.0
-        pdf_l2 = (t_hit * t_hit) * (w2x * w2x + w2y * w2y + w2z * w2z) \
-            / jnp.maximum(
-                jnp.abs(lnx_u * w2x + lny_u * w2y + lnz_u * w2z) * area,
-                1e-20,
-            )
-        # shadow trace along wi2 — bounded to the light point on the area
-        # arm, unbounded on the env arm.
-        tmax2 = jnp.where(arm_area & hit_l, t_hit * (1.0 - 1e-3), inf)
-        occ2 = _occluded(cols, counts, s2ox, s2oy, s2oz,
-                         w2x, w2y, w2z, tmax2)
-        w_b = pdf2 * pdf2 / jnp.maximum(pdf2 * pdf2 + pdf_l2 * pdf_l2, 1e-30)
-        # radiance_to is two-sided in the reference (light/src/lib.rs:141-146)
-        # and in the general path; facing is not tested here.
-        del facing2
-        valid_b = (
-            arm_area & hit_l & ~occ2 & (pdf2 > 0.0) & (pdf_l2 > 0.0)
-        )
-        contrib_b = jnp.where(valid_b, f2 * w_b / jnp.maximum(pdf2, 1e-20),
-                              0.0)
-        rad_out_r += jnp.where(alive, beta[0] * alb_r * contrib_b * ler
-                               * n_lights, 0.0)
-        rad_out_g += jnp.where(alive, beta[1] * alb_g * contrib_b * leg
-                               * n_lights, 0.0)
-        rad_out_b += jnp.where(alive, beta[2] * alb_b * contrib_b * leb
-                               * n_lights, 0.0)
+        # ---- Russian roulette ----
+        if rr_active:
+            lum = 0.21267127 * nbr + 0.71515972 * nbg + 0.07216883 * nbb
+            q = jnp.maximum(0.05, 1.0 - lum)
+            u_rr = _u1(seed, pix, smp_id, bounce, smp.DIM_RUSSIAN_ROULETTE)
+            killed = u_rr < q
+            alive = alive & ~killed
+            scale = jnp.where(alive, 1.0 / jnp.maximum(1.0 - q, 1e-6), 1.0)
+            nbr = nbr * scale
+            nbg = nbg * scale
+            nbb = nbb * scale
 
-        if has_env:
-            # env radiance along wi2
-            if env_kind == lt.ENV_GRADIENT:
-                dl = jax.lax.rsqrt(jnp.maximum(
-                    w2x * w2x + w2y * w2y + w2z * w2z, 1e-30))
-                yy2 = (w2y * dl + 1.0) * 0.5
-                er2 = scal_ref[0] * yy2 + scal_ref[3] * (1.0 - yy2)
-                eg2 = scal_ref[1] * yy2 + scal_ref[4] * (1.0 - yy2)
-                eb2 = scal_ref[2] * yy2 + scal_ref[5] * (1.0 - yy2)
-            else:
-                er2 = jnp.full_like(rox, 1.0) * scal_ref[0]
-                eg2 = jnp.full_like(rox, 1.0) * scal_ref[1]
-                eb2 = jnp.full_like(rox, 1.0) * scal_ref[2]
-            valid_e = arm_env & ~occ2 & (pdf2 > 0.0)
-            contrib_e = jnp.where(valid_e, f2 / jnp.maximum(pdf2, 1e-20), 0.0)
-            rad_out_r += jnp.where(alive, beta[0] * alb_r * contrib_e * er2
-                                   * n_lights, 0.0)
-            rad_out_g += jnp.where(alive, beta[1] * alb_g * contrib_e * eg2
-                                   * n_lights, 0.0)
-            rad_out_b += jnp.where(alive, beta[2] * alb_b * contrib_e * eb2
-                                   * n_lights, 0.0)
-
-        n_rays += 2.0 * jnp.sum(alive.astype(jnp.float32))
-
-    # ---- BSDF sample for next direction (cosine hemisphere) ----
-    u_b0 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 0)
-    u_b1 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 1)
-    ux_ = u_b1 * 2.0 - 1.0
-    uy_ = u_b0 * 2.0 - 1.0
-    rr = jnp.maximum(jnp.abs(ux_), jnp.abs(uy_))
-    hyp = jnp.sqrt(jnp.maximum(ux_ * ux_ + uy_ * uy_, 1e-20))
-    ddx = jnp.where((ux_ == 0.0) & (uy_ == 0.0), 0.0, rr * ux_ / hyp)
-    ddy = jnp.where((ux_ == 0.0) & (uy_ == 0.0), 0.0, rr * uy_ / hyp)
-    ddz = jnp.sqrt(jnp.maximum(1.0 - ddx * ddx - ddy * ddy, 0.0))
-    wnx = ddx * fx_ + ddy * bx + ddz * nx
-    wny = ddx * fy_ + ddy * by + ddz * ny
-    wnz = ddx * fz_ + ddy * bz + ddz * nz
-    # throughput: f·cos/pdf = albedo; zero-albedo or emissive-only lanes die
-    nonzero = (alb_r > 0.0) | (alb_g > 0.0) | (alb_b > 0.0)
-    has_lobe = mat_id >= 0
-    alive = alive & nonzero & has_lobe & (ddz > 0.0)
-    nbr = jnp.where(alive, beta[0] * alb_r, beta[0])
-    nbg = jnp.where(alive, beta[1] * alb_g, beta[1])
-    nbb = jnp.where(alive, beta[2] * alb_b, beta[2])
-
-    # ---- Russian roulette ----
-    if rr_active:
-        lum = 0.21267127 * nbr + 0.71515972 * nbg + 0.07216883 * nbb
-        q = jnp.maximum(0.05, 1.0 - lum)
-        u_rr = _u1(seed, pix, smp_id, bounce, smp.DIM_RUSSIAN_ROULETTE)
-        killed = u_rr < q
-        alive = alive & ~killed
-        scale = jnp.where(alive, 1.0 / jnp.maximum(1.0 - q, 1e-6), 1.0)
-        nbr = nbr * scale
-        nbg = nbg * scale
-        nbb = nbb * scale
-
-    side = jnp.where(wnx * nx + wny * ny + wnz * nz >= 0.0, 1.0, -1.0)
-    rad_r[...] = rad_out_r
-    rad_g[...] = rad_out_g
-    rad_b[...] = rad_out_b
-    nox[...] = px + side * nx * SPAWN_EPS
-    noy[...] = py + side * ny * SPAWN_EPS
-    noz[...] = pz + side * nz * SPAWN_EPS
-    ndx[...] = wnx
-    ndy[...] = wny
-    ndz[...] = wnz
-    beta_r_o[...] = nbr
-    beta_g_o[...] = nbg
-    beta_b_o[...] = nbb
-    alive_out[...] = alive.astype(jnp.int32)
-    raycnt[...] = jnp.broadcast_to(n_rays / rox.size, rox.shape)
+        side = jnp.where(wnx * nx + wny * ny + wnz * nz >= 0.0, 1.0, -1.0)
+        rad_r[...] = rad_out_r
+        rad_g[...] = rad_out_g
+        rad_b[...] = rad_out_b
+        nox[...] = px + side * nx * SPAWN_EPS
+        noy[...] = py + side * ny * SPAWN_EPS
+        noz[...] = pz + side * nz * SPAWN_EPS
+        ndx[...] = wnx
+        ndy[...] = wny
+        ndz[...] = wnz
+        beta_r_o[...] = nbr
+        beta_g_o[...] = nbg
+        beta_b_o[...] = nbb
+        alive_out[...] = alive.astype(jnp.int32)
+        raycnt[...] = jnp.broadcast_to(n_rays / rox.size, rox.shape)
 
 
 class FusedDiffuseIntegrator:
