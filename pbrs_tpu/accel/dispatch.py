@@ -14,6 +14,17 @@ def make_trace_fns(scene, use_pallas: bool | None = None, interpret=False):
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     geom = scene.geom
+    groups = getattr(scene, "instanced", ())
+    if groups:
+        # Tracer-side flattening: small all-affine-exact groups bake into
+        # the base tables (one trace launch instead of a per-instance
+        # scan); big or non-similarity-sphere groups stay trace-time.
+        from . import instanced as inst_mod
+
+        bake = [g for g in groups if inst_mod.flattenable(g)]
+        groups = tuple(g for g in groups if not inst_mod.flattenable(g))
+        if bake:
+            geom = inst_mod.flatten_groups(geom, bake)
     if not use_pallas:
         base_isect = lambda rays: isect_mod.intersect(geom, rays)
         base_occl = lambda rays: isect_mod.occluded(geom, rays)
@@ -26,7 +37,6 @@ def make_trace_fns(scene, use_pallas: bool | None = None, interpret=False):
 
         base_occl = tracer.occluded
 
-    groups = getattr(scene, "instanced", ())
     if not groups:
         return base_isect, base_occl
 

@@ -215,6 +215,99 @@ def merge_hits(a: isect_mod.Hit, b: isect_mod.Hit) -> isect_mod.Hit:
     )
 
 
+FLATTEN_MAX = 16384  # instances x prims below this bake into the tracer
+
+
+def flattenable(grp: InstanceGroup) -> bool:
+    """True when the tracer may bake this group into world-space tables:
+    small enough, and every primitive kind is exact under the group's
+    transforms (tris/quads under any affine; spheres/disks only under
+    similarities). This is a TRACER-side optimization — the Scene keeps
+    the group (O(1) geometry memory is about HBM scene storage; a few
+    thousand baked prims is the cheap case)."""
+    g = grp.geom
+    counts = isect_mod.geom_counts(g)
+    n_inst = int(grp.fwd.shape[0])
+    if n_inst * sum(counts) > FLATTEN_MAX:
+        return False
+    if counts[0] or counts[3]:  # spheres / disks: need similarity
+        fwd = np.asarray(grp.fwd)
+        for m in fwd:
+            m3 = np.asarray(m[:, :3], np.float64)
+            mtm = m3.T @ m3
+            s2 = np.trace(mtm) / 3.0
+            if not np.allclose(mtm, s2 * np.eye(3),
+                               atol=1e-4 * max(s2, 1.0)):
+                return False
+    return True
+
+
+def flatten_groups(geom: GeometryTables, groups):
+    """Bake `groups` into world-space copies appended to `geom`'s tables.
+    Returns the combined GeometryTables. Dummy never-hit padding rows in
+    the masters (far-origin primitives) are harmless to copy."""
+    from ..shapes.tables import GeometryBuilder
+
+    b = GeometryBuilder()
+
+    def copy_tables(g, tf=None):
+        mat3 = None if tf is None else np.asarray(tf[:, :3], np.float64)
+        off = None if tf is None else np.asarray(tf[:, 3], np.float64)
+        it = (None if tf is None
+              else np.linalg.inv(mat3).T)
+
+        def pt(p):
+            p = np.asarray(p, np.float64)
+            return p if tf is None else p @ mat3.T + off
+
+        def vec(v):
+            v = np.asarray(v, np.float64)
+            return v if tf is None else v @ mat3.T
+
+        def nrm(nv):
+            nv = np.asarray(nv, np.float64)
+            if tf is not None:
+                nv = nv @ it.T
+                ln = np.linalg.norm(nv, axis=-1, keepdims=True)
+                nv = nv / np.maximum(ln, 1e-20)
+            return nv
+
+        scale = 1.0 if tf is None else float(
+            np.cbrt(abs(np.linalg.det(mat3))))
+        for c, r, m in zip(np.asarray(g.sph_center),
+                           np.asarray(g.sph_radius),
+                           np.asarray(g.sph_mat)):
+            b.add_sphere(pt(c), float(r) * scale, int(m))
+        for o, u, v, m in zip(np.asarray(g.quad_origin),
+                              np.asarray(g.quad_u), np.asarray(g.quad_v),
+                              np.asarray(g.quad_mat)):
+            b.add_quad(pt(o), vec(u), vec(v), int(m))
+        tris = (np.asarray(g.tri_p0), np.asarray(g.tri_p1),
+                np.asarray(g.tri_p2))
+        tn = (np.asarray(g.tri_n0), np.asarray(g.tri_n1),
+              np.asarray(g.tri_n2))
+        tuv = (np.asarray(g.tri_uv0), np.asarray(g.tri_uv1),
+               np.asarray(g.tri_uv2))
+        tp = [pt(p) for p in tris]
+        tnn = [nrm(nv) for nv in tn]
+        for i, m in enumerate(np.asarray(g.tri_mat)):
+            b.add_triangle(
+                tp[0][i], tp[1][i], tp[2][i], int(m),
+                normals=(tnn[0][i], tnn[1][i], tnn[2][i]),
+                uvs=(tuv[0][i], tuv[1][i], tuv[2][i]))
+        for c, nv, r, m in zip(np.asarray(g.disk_center),
+                               np.asarray(g.disk_normal),
+                               np.asarray(g.disk_radial),
+                               np.asarray(g.disk_mat)):
+            b.add_disk(pt(c), nrm(nv[None])[0], vec(r), int(m))
+
+    copy_tables(geom)
+    for grp in groups:
+        for m in np.asarray(grp.fwd):
+            copy_tables(grp.geom, m)
+    return b.build()
+
+
 def intersect_t(geom: GeometryTables, rays):
     """t-only closest-hit sweep (the first half of isect_mod.intersect)."""
     ts = [isect_mod.sphere_t(rays, geom), isect_mod.quad_t(rays, geom),
