@@ -295,16 +295,153 @@ def _treelet_kernel(boxes_ref, tab_ref,
                     ox, oy, oz, dx, dy, dz, tmax,
                     t_out, idx_out, tc, sems, *,
                     kind, n_chunks, t_count, treelet, any_hit,
-                    rays=RAYS, subrows=SUBROWS, debug_rounds=False):
+                    rays=RAYS, subrows=SUBROWS, resident=False,
+                    debug_rounds=False):
     # Blocks are [subrows, rays]; each sublane row is an independent batch
     # of `rays` rays (TPU block shapes must be sublane-divisible).
+    row_fn = _treelet_row_resident if resident else _treelet_row
     for r in range(subrows):
-        _treelet_row(boxes_ref, tab_ref,
-                     ox, oy, oz, dx, dy, dz, tmax, t_out, idx_out,
-                     tc, sems,
-                     r, kind=kind, n_chunks=n_chunks, t_count=t_count,
-                     treelet=treelet, any_hit=any_hit, rays=rays,
-                     debug_rounds=debug_rounds)
+        row_fn(boxes_ref, tab_ref,
+               ox, oy, oz, dx, dy, dz, tmax, t_out, idx_out,
+               tc, sems,
+               r, kind=kind, n_chunks=n_chunks, t_count=t_count,
+               treelet=treelet, any_hit=any_hit, rays=rays,
+               debug_rounds=debug_rounds)
+
+
+def _treelet_row_resident(boxes_ref, tab_ref,
+                          ox, oy, oz, dx, dy, dz, tmax,
+                          t_out, idx_out, tc, sems,
+                          r, *, kind, n_chunks, t_count, treelet, any_hit,
+                          rays=RAYS, debug_rounds=False):
+    """Single-loop variant for scenes whose whole gather table fits VMEM.
+
+    Keys for EVERY treelet are computed once into a resident [t_pad, rays]
+    scratch with *global* treelet ids in the low bits; one flat while loop
+    then repeatedly (1) finds each lane's global min key, (2) picks the
+    round's chunk as the smallest chunk any participating lane wants, and
+    (3) gathers from the VMEM-resident table slice for that chunk — no
+    DMA, no outer chunk loop, no lax.cond, and exact global front-to-back
+    ordering per lane (the chunked path only orders within a chunk).
+    """
+    nf = N_FIELDS[kind]
+    t_pad = n_chunks * CHUNK
+    gbits = max(LOCAL_BITS, int(np.ceil(np.log2(max(t_pad, 2)))))
+    gmask = np.int32((1 << gbits) - 1)
+    rox, roy, roz = ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :]  # [1, rays]
+    rdx, rdy, rdz = dx[r:r+1, :], dy[r:r+1, :], dz[r:r+1, :]
+    t_max = tmax[r:r+1, :]
+    inv_x = 1.0 / jnp.where(rdx == 0.0, 1e-30, rdx)
+    inv_y = 1.0 / jnp.where(rdy == 0.0, 1e-30, rdy)
+    inv_z = 1.0 / jnp.where(rdz == 0.0, 1e-30, rdz)
+
+    def all_keys():
+        boxes = boxes_ref[...]  # [t_pad, 8]
+        tx0 = (boxes[:, 0:1] - rox) * inv_x  # [t_pad, rays]
+        tx1 = (boxes[:, 3:4] - rox) * inv_x
+        ty0 = (boxes[:, 1:2] - roy) * inv_y
+        ty1 = (boxes[:, 4:5] - roy) * inv_y
+        tz0 = (boxes[:, 2:3] - roz) * inv_z
+        tz1 = (boxes[:, 5:6] - roz) * inv_z
+        t_enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1))
+        t_exit = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1))
+        gid = jax.lax.broadcasted_iota(jnp.int32, (t_pad, rays), 0)
+        hit_box = ((t_enter <= t_exit) & (t_exit >= T_MIN)
+                   & (t_enter < t_max) & (gid < t_count))
+        te = jnp.clip(t_enter, 0.0, BIG)
+        kbits = jax.lax.bitcast_convert_type(te, jnp.int32)
+        return jnp.where(hit_box, (kbits & ~gmask) | gid, INT_MAX)
+
+    def lane_alive(kmin, t_best, idx_best):
+        t_lb = jax.lax.bitcast_convert_type(kmin & ~gmask, jnp.float32)
+        alive = (kmin != INT_MAX) & (t_lb < t_best)
+        if any_hit:
+            alive = alive & (idx_best < 0)
+        return alive
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (treelet, rays), 0)
+
+    def resolve(alive, g, tid_global, t_best, idx_best):
+        t_c, ok = _test_prims(
+            kind, g, nf, treelet, rox, roy, roz, rdx, rdy, rdz, t_max)
+        t_c = jnp.where(ok & alive, t_c, BIG)
+        tmin = jnp.min(t_c, axis=0, keepdims=True)  # [1, rays]
+        slot_sel = jnp.min(
+            jnp.where(t_c == tmin, slot_iota, INT_MAX),
+            axis=0, keepdims=True)
+        packed = tid_global * treelet + slot_sel
+        closer = tmin < t_best
+        t_best = jnp.where(closer, tmin, t_best)
+        idx_best = jnp.where(closer, packed, idx_best)
+        return t_best, idx_best
+
+    # Keys are a while-loop VALUE (not a scratch ref: ref writes inside a
+    # Pallas while body do not persist across iterations). Marking uses a
+    # full-plane where (the per-column min is unique), so no dynamic
+    # update-slice is needed; the gather one-hot reads one CHUNK slice.
+    def cond(state):
+        keys, t_best, idx_best, nround = state
+        kmin = jnp.min(keys, axis=0, keepdims=True)
+        return jnp.sum(
+            lane_alive(kmin, t_best, idx_best).astype(jnp.float32)) > 0.0
+
+    def body(state):
+        keys, t_best, idx_best, nround = state
+        rows3 = nf * treelet * 3
+        pending = None
+        for _ in range(UNROLL):
+            nround = nround + 1.0
+            kmin = jnp.min(keys, axis=0, keepdims=True)
+            alive = lane_alive(kmin, t_best, idx_best)
+            tid = kmin & gmask  # [1, rays] global treelet id
+            lane_chunk = jnp.where(alive, tid // CHUNK, n_chunks)
+            # scalar chunk for this round (clamped: all-dead rounds index
+            # chunk 0 with an empty one-hot)
+            c = jnp.minimum(jnp.min(lane_chunk), n_chunks - 1)
+            take = alive & (lane_chunk == c)
+            # Full-plane mark (the per-column min is unique); the gather's
+            # chunk-aligned one-hot folds the mark plane with a static
+            # chunk loop (Mosaic has no dynamic_slice on values).
+            mark = (keys == kmin) & take  # [t_pad, rays]
+            keys = jnp.where(mark, INT_MAX, keys)
+            if n_chunks == 1:
+                onehot = mark
+            else:
+                onehot = jnp.zeros((CHUNK, rays), bool)
+                for k in range(n_chunks):
+                    onehot = onehot | ((c == k)
+                                       & mark[k * CHUNK:(k + 1) * CHUNK])
+            g3 = mm(tab_ref[c], onehot.astype(jnp.bfloat16))
+            f3 = rows3 // 3
+            g = g3[0:f3] + g3[f3:2 * f3] + g3[2 * f3:]
+            if pending is not None:
+                t_best, idx_best = resolve(*pending, t_best, idx_best)
+            pending = (take, g, tid)
+        t_best, idx_best = resolve(*pending, t_best, idx_best)
+        return keys, t_best, idx_best, nround
+
+    t_best0 = jnp.full((1, rays), BIG, jnp.float32)
+    idx0 = jnp.full((1, rays), -1, jnp.int32)
+    _, t_best, idx_best, nround = jax.lax.while_loop(
+        cond, body,
+        (all_keys(), t_best0, idx0, jnp.zeros((), jnp.float32)))
+    miss = t_best >= BIG
+    if debug_rounds:
+        t_out[r:r+1, :] = jnp.broadcast_to(nround * 100.0, (1, rays))
+        idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
+        return
+    t_out[r:r+1, :] = jnp.where(miss, jnp.inf, t_best)
+    idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
 
 
 def _treelet_row(boxes_ref, tab_ref,
@@ -489,16 +626,16 @@ def _treelet_row(boxes_ref, tab_ref,
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_chunks", "t_count",
                                              "nf", "treelet", "any_hit",
-                                             "rays", "subrows",
+                                             "rays", "subrows", "resident",
                                              "interpret", "debug_rounds"))
 def _trace_blocks(boxes, table, ray_comps, kind, n_chunks, t_count,
                   nf, treelet, any_hit=False, rays=RAYS, subrows=SUBROWS,
-                  interpret=False, debug_rounds=False):
+                  resident=False, interpret=False, debug_rounds=False):
     blocks = ray_comps[0].shape[0] // subrows
     kernel = functools.partial(
         _treelet_kernel, kind=kind, n_chunks=n_chunks, t_count=t_count,
         treelet=treelet, any_hit=any_hit, rays=rays, subrows=subrows,
-        debug_rounds=debug_rounds)
+        resident=resident, debug_rounds=debug_rounds)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
     rblk = lambda: pl.BlockSpec((subrows, rays), lambda i: (i, 0),
@@ -507,14 +644,16 @@ def _trace_blocks(boxes, table, ray_comps, kind, n_chunks, t_count,
     return pl.pallas_call(
         kernel,
         grid=(blocks,),
-        in_specs=[vmem()] + [anym()] + [rblk()] * 7,
+        in_specs=[vmem()] + [vmem() if resident else anym()]
+        + [rblk()] * 7,
         out_specs=(rblk(), rblk()),
         out_shape=(
             jax.ShapeDtypeStruct((rows, rays), jnp.float32),
             jax.ShapeDtypeStruct((rows, rays), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3 * nf * treelet, CHUNK), jnp.bfloat16),
+            pltpu.VMEM((8, CHUNK) if resident
+                       else (3 * nf * treelet, CHUNK), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((1,)),
         ],
         interpret=interpret,
@@ -535,6 +674,12 @@ class TreeletTracer:
         (self.boxes, self.table, self.n_chunks,
          self.t_count, slot_prim, self.world_bounds) = build_treelets(
             kind, fields, bbox_lo, bbox_hi, treelet=treelet)
+        # Fully-VMEM-resident single-loop mode. Measured on v5e: wins only
+        # at n_chunks == 1 (no DMA, no outer loop, same ordering); with
+        # multiple chunks the global-min bookkeeping + chunk serialization
+        # loses ~15% to the chunked walk, so it stays off there.
+        tab_bytes = self.n_chunks * 3 * N_FIELDS[kind] * treelet * CHUNK * 2
+        self.resident = self.n_chunks == 1 and tab_bytes <= (4 << 20)
         # packed (treelet, slot) -> global prim id (-1 for empty slots)
         self.slot_gid = jnp.where(slot_prim >= 0, slot_prim + global_base,
                                   -1).astype(jnp.int32)
@@ -602,7 +747,7 @@ class TreeletTracer:
             kind=self.kind, n_chunks=self.n_chunks, t_count=self.t_count,
             nf=N_FIELDS[self.kind], treelet=self.treelet,
             any_hit=any_hit, rays=self.rays, subrows=self.subrows,
-            interpret=self.interpret)
+            resident=self.resident, interpret=self.interpret)
         t = t.reshape(-1)[:n]
         packed = packed.reshape(-1)[:n]
         # (treelet, slot) -> global prim id; a small XLA gather outside the
