@@ -51,10 +51,13 @@ _SUPPORTED_KINDS = {
     lb.SPEC_TRANSMIT,
 }
 
-# Material bank columns [M, 3 + 15*n_slots]:
-# 0-2 emission, then 15 columns per lobe slot:
-# albedo(3), kind, alpha, distrib, fr_kind, eta(2), eta_t(3), k(3).
-SLOT_COLS = 15
+# Material bank columns [M, 3 + 16*n_slots]:
+# 0-2 emission, then 16 columns per lobe slot:
+# albedo(3), kind, alpha, distrib, fr_kind, eta(2), eta_t(3), k(3), tex_id.
+SLOT_COLS = 16
+# Texture bank columns [T, 8]: kind, color_a(3), color_b(3), perlin freq.
+TEX_CHECKER = 1
+TEX_PERLIN = 2
 
 
 def scene_supports_single_lobe(scene) -> bool:
@@ -63,7 +66,19 @@ def scene_supports_single_lobe(scene) -> bool:
         return False  # trace-time instance groups -> general path
     mt = scene.materials
     if mt.textured_slots:
-        return False
+        # Procedural textures (solid/checker/perlin) evaluate in-kernel on
+        # the hit position; image textures need the atlas -> general path.
+        tt = scene.textures
+        kinds_used = set()
+        tid_all = np.asarray(mt.tex_id)
+        for sl in mt.textured_slots:
+            kinds_used |= set(
+                int(np.asarray(tt.kind)[t])
+                for t in tid_all[:, sl].tolist() if t >= 0)
+        if kinds_used - {0, TEX_CHECKER, TEX_PERLIN}:
+            return False
+        if np.asarray(tt.kind).shape[0] > 64:
+            return False
     kinds = set(np.asarray(mt.kind).reshape(-1).tolist())
     if kinds - _SUPPORTED_KINDS:
         return False
@@ -121,6 +136,61 @@ def scene_supports_single_lobe(scene) -> bool:
         if not np.allclose(lens[lens > 0], 1.0, atol=1e-5):
             return False
     return True
+
+
+def _marble_planes(px, py, pz, freq):
+    """Perlin marble on position planes — sin(freq*z + 10*turbulence(p)),
+    7 octaves, same hash/gradient math as textures._perlin_noise (the
+    gather-free 16-direction lattice), so the fused path matches the
+    general path bit-for-bit-ish. int32 arithmetic wraps like uint32 for
+    mul/add/xor; shifts use logical right-shift."""
+    c1 = np.int32(np.uint32(0x8DA6B343).astype(np.int32))
+    c2 = np.int32(np.uint32(0xD8163841).astype(np.int32))
+    c3 = np.int32(np.uint32(0xCB1AB31F).astype(np.int32))
+    c4 = np.int32(np.uint32(0x85EBCA6B).astype(np.int32))
+
+    def hash3(ix, iy, iz):
+        h = ix * c1 + iy * c2 + iz * c3
+        h = h ^ jax.lax.shift_right_logical(h, 13)
+        h = h * c4
+        return h ^ jax.lax.shift_right_logical(h, 16)
+
+    def grad_dot(h, x, y, z):
+        hi = h & 15
+        u = jnp.where(hi < 8, x, y)
+        v = jnp.where(hi < 4, y, jnp.where((hi == 12) | (hi == 14), x, z))
+        su = jnp.where((hi & 1) == 0, u, -u)
+        sv = jnp.where((hi & 2) == 0, v, -v)
+        return su + sv
+
+    def noise(sx, sy, sz):
+        ix = jnp.floor(sx).astype(jnp.int32)
+        iy = jnp.floor(sy).astype(jnp.int32)
+        iz = jnp.floor(sz).astype(jnp.int32)
+        fx = sx - jnp.floor(sx)
+        fy = sy - jnp.floor(sy)
+        fz = sz - jnp.floor(sz)
+        smx = fx * fx * (3.0 - 2.0 * fx)
+        smy = fy * fy * (3.0 - 2.0 * fy)
+        smz = fz * fz * (3.0 - 2.0 * fz)
+        acc = jnp.zeros_like(sx)
+        for di in (0, 1):
+            wu = smx * di + (1.0 - smx) * (1 - di)
+            for dj in (0, 1):
+                wj = smy * dj + (1.0 - smy) * (1 - dj)
+                for dk in (0, 1):
+                    wk = smz * dk + (1.0 - smz) * (1 - dk)
+                    h = hash3(ix + di, iy + dj, iz + dk)
+                    acc = acc + wu * wj * wk * grad_dot(
+                        h, fx - di, fy - dj, fz - dk)
+        return acc * float(1.0 / np.sqrt(2.0))
+
+    acc = jnp.zeros_like(px)
+    for i in range(7):
+        sc = freq * (2.0 ** i)
+        acc = acc + (0.5 ** i) * noise(px * sc, py * sc, pz * sc)
+    turb = jnp.abs(acc)
+    return jnp.sin(freq * pz + 10.0 * turb) * 0.5 + 0.5
 
 
 # ----------------- component-form BSDF pieces (local frame) -----------------
@@ -410,17 +480,18 @@ def _sample_lobe(mat, wolx, woly, wolz, su0, su1, eval_pdf, has):
 def _bounce2_kernel(
     *refs,
     counts, n_mats, n_area, n_delta, env_kind, present_kinds, light_shapes,
-    two_slots, bounce_is_first, rr_active,
+    two_slots, n_texs, tex_kinds, bounce_is_first, rr_active,
 ):
     cols = refs[:16]
-    (mats_ref, lights_ref, delta_ref, ints_ref, scal_ref) = refs[16:21]
-    (mhi_ref, mmid_ref, mlo_ref) = refs[21:24]
-    (phi_ref, pmid_ref, plo_ref) = refs[24:27]
+    (mats_ref, lights_ref, delta_ref, texs_ref, ints_ref,
+     scal_ref) = refs[16:22]
+    (mhi_ref, mmid_ref, mlo_ref) = refs[22:25]
+    (phi_ref, pmid_ref, plo_ref) = refs[25:28]
     (ox, oy, oz, dx, dy, dz, beta_r, beta_g, beta_b, alive_in, spec_in,
-     pixel, sample) = refs[27:40]
+     pixel, sample) = refs[28:41]
     (rad_r, rad_g, rad_b, nox, noy, noz, ndx, ndy, ndz,
      beta_r_o, beta_g_o, beta_b_o, alive_out, spec_out,
-     raycnt) = refs[40:55]
+     raycnt) = refs[41:56]
 
     def _mmg(a, b):
         # one-hot gather matmul: bf16 operands, f32 accumulate — exact
@@ -717,7 +788,7 @@ def _bounce2_kernel(
 
         def lobe_dict(base):
             (alb_r, alb_g, alb_b, kind_f, alpha, distrib_f, frk_f, eta0, eta1,
-             etr, etg, etb, kr, kg, kb) = got[base:base + SLOT_COLS]
+             etr, etg, etb, kr, kg, kb, tex_f) = got[base:base + SLOT_COLS]
             return {
                 "kind": kind_f.astype(jnp.int32), "alpha": alpha,
                 "distrib": distrib_f.astype(jnp.int32),
@@ -725,10 +796,43 @@ def _bounce2_kernel(
                 "eta0": eta0, "eta1": eta1, "etr": etr, "etg": etg, "etb": etb,
                 "kr": kr, "kg": kg, "kb": kb,
                 "alb_r": alb_r, "alb_g": alb_g, "alb_b": alb_b,
+                "tex": tex_f,
             }
 
         l0 = lobe_dict(3)
         l1 = lobe_dict(3 + SLOT_COLS) if two_slots else None
+
+        # ---- in-kernel procedural textures (solid/checker/perlin) ----
+        # Mirrors textures.eval_texture on the hit position planes; image
+        # textures are excluded at eligibility. [ref: texture/src/lib.rs]
+        if n_texs:
+            def overlay_texture(lob):
+                tid = lob["tex"].astype(jnp.int32)
+                gt = _masked_gather(tid, lambda j, i: texs_ref[i, j],
+                                    n_texs, 8)
+                tkind = gt[0].astype(jnp.int32)
+                tr_, tg_, tb_ = gt[1], gt[2], gt[3]
+                if TEX_CHECKER in tex_kinds:
+                    sines = (jnp.sin(10.0 * px) * jnp.sin(10.0 * py)
+                             * jnp.sin(10.0 * pz))
+                    sel = (tkind == TEX_CHECKER) & (sines < 0.0)
+                    tr_ = jnp.where(sel, gt[4], tr_)
+                    tg_ = jnp.where(sel, gt[5], tg_)
+                    tb_ = jnp.where(sel, gt[6], tb_)
+                if TEX_PERLIN in tex_kinds:
+                    marble = _marble_planes(px, py, pz, gt[7])
+                    sel = tkind == TEX_PERLIN
+                    tr_ = jnp.where(sel, marble, tr_)
+                    tg_ = jnp.where(sel, marble, tg_)
+                    tb_ = jnp.where(sel, marble, tb_)
+                use = tid >= 0
+                lob["alb_r"] = jnp.where(use, tr_, lob["alb_r"])
+                lob["alb_g"] = jnp.where(use, tg_, lob["alb_g"])
+                lob["alb_b"] = jnp.where(use, tb_, lob["alb_b"])
+
+            overlay_texture(l0)
+            if two_slots:
+                overlay_texture(l1)
 
         # ---- per-lobe eval/pdf in the local frame (lobes.eval_lobe +
         # lobes.pdf_lobe for LAMBERT / isotropic MICROFACET) ----
@@ -1366,15 +1470,16 @@ def _bounce2_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("counts", "n_mats", "n_area", "n_delta", "env_kind",
-                     "present_kinds", "light_shapes", "two_slots",
-                     "bounce_is_first", "rr_active", "interpret"),
+                     "present_kinds", "light_shapes", "two_slots", "n_texs",
+                     "tex_kinds", "bounce_is_first", "rr_active",
+                     "interpret"),
 )
 def _bounce2_call(params, mats, mats_splits, prim_splits, lights, delta,
-                  ints, scal,
+                  texs, ints, scal,
                   ox, oy, oz, dx, dy, dz, br, bg, bb, alive, spec, pix, samp,
                   counts, n_mats, n_area, n_delta, env_kind, present_kinds,
-                  light_shapes, two_slots, bounce_is_first, rr_active,
-                  interpret):
+                  light_shapes, two_slots, n_texs, tex_kinds,
+                  bounce_is_first, rr_active, interpret):
     rows = ox.shape[0]
     grid = (rows // BLOCK_ROWS,)
     blk = lambda: pl.BlockSpec(
@@ -1384,15 +1489,16 @@ def _bounce2_call(params, mats, mats_splits, prim_splits, lights, delta,
     kernel = functools.partial(
         _bounce2_kernel, counts=counts, n_mats=n_mats, n_area=n_area,
         n_delta=n_delta, env_kind=env_kind, present_kinds=present_kinds,
-        light_shapes=light_shapes, two_slots=two_slots,
-        bounce_is_first=bounce_is_first, rr_active=rr_active,
+        light_shapes=light_shapes, two_slots=two_slots, n_texs=n_texs,
+        tex_kinds=tex_kinds, bounce_is_first=bounce_is_first,
+        rr_active=rr_active,
     )
     shp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     ishp = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem()] * 21
+        in_specs=[smem()] * 22
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
         + [blk() for _ in range(13)],
         out_specs=tuple([blk()] * 15),
@@ -1405,7 +1511,8 @@ def _bounce2_call(params, mats, mats_splits, prim_splits, lights, delta,
             shp,  # ray count
         ),
         interpret=interpret,
-    )(*params, mats, lights, delta, ints, scal, *mats_splits, *prim_splits,
+    )(*params, mats, lights, delta, texs, ints, scal,
+      *mats_splits, *prim_splits,
       ox, oy, oz, dx, dy, dz, br, bg, bb, alive, spec, pix, samp)
 
 
@@ -1449,7 +1556,8 @@ class FusedSingleLobeIntegrator:
                 np.asarray(mt.eta)[:, s, :],
                 np.asarray(mt.eta_t)[:, s, :],
                 np.asarray(mt.k)[:, s, :],
-            ], axis=1).astype(np.float32)  # 15 cols per slot
+                np.asarray(mt.tex_id)[:, s, None].astype(np.float32),
+            ], axis=1).astype(np.float32)  # 16 cols per slot
 
         parts = [np.asarray(mt.emission).astype(np.float32), slot_cols(0)]
         used = km[:, 0].tolist()
@@ -1467,6 +1575,30 @@ class FusedSingleLobeIntegrator:
         tbl_t[: mats_np.shape[1], : mats_np.shape[0]] = mats_np.T
         self.mats_splits = tuple(jnp.asarray(a) for a in _split3(tbl_t))
         self.present_kinds = tuple(sorted(set(used) - {lb.NONE}))
+
+        # Texture bank [T, 8]: kind, color_a rgb, color_b rgb, perlin freq.
+        # n_texs = 0 disables the in-kernel overlay entirely (solid-only
+        # scenes pay nothing).
+        tt = scene.textures
+        tex_used = set()
+        tid_all = np.asarray(mt.tex_id)
+        for sl in mt.textured_slots:
+            tex_used |= set(
+                int(np.asarray(tt.kind)[t])
+                for t in tid_all[:, sl].tolist() if t >= 0)
+        if mt.textured_slots:
+            texs_np = np.concatenate([
+                np.asarray(tt.kind)[:, None].astype(np.float32),
+                np.asarray(tt.color_a, np.float32),
+                np.asarray(tt.color_b, np.float32),
+                np.asarray(tt.freq)[:, None].astype(np.float32),
+            ], axis=1)
+            self.n_texs = int(texs_np.shape[0])
+        else:
+            texs_np = np.zeros((1, 8), np.float32)
+            self.n_texs = 0
+        self.texs = jnp.asarray(texs_np)
+        self.tex_kinds = tuple(sorted(tex_used))
 
         al = scene.area_lights
         self.n_area = al.count
@@ -1538,7 +1670,7 @@ class FusedSingleLobeIntegrator:
         for bounce in range(max_depth):
             out = _bounce2_call(
                 self.params, self.mats, self.mats_splits, self.prim_splits,
-                self.lights, self.delta,
+                self.lights, self.delta, self.texs,
                 jnp.stack([
                     jnp.asarray(sampler.seed).astype(jnp.int32),
                     jnp.asarray(bounce, jnp.int32),
@@ -1552,6 +1684,7 @@ class FusedSingleLobeIntegrator:
                 present_kinds=self.present_kinds,
                 light_shapes=self.light_shapes,
                 two_slots=self.two_slots,
+                n_texs=self.n_texs, tex_kinds=self.tex_kinds,
                 bounce_is_first=(bounce == 0),
                 rr_active=(bounce > rr_start),
                 interpret=self.interpret,

@@ -63,8 +63,9 @@ def test_eligibility():
     assert fsl.scene_supports_single_lobe(presets.plates())  # sphere lights
     # 485 spheres / 485 materials: flat loops still beat the BVH path
     assert fsl.scene_supports_single_lobe(presets.mixed_spheres())
-    # textures -> general path
-    assert not fsl.scene_supports_single_lobe(presets.two_perlin_spheres())
+    # procedural textures evaluate in-kernel now (image textures are
+    # covered by test_image_texture_stays_general)
+    assert fsl.scene_supports_single_lobe(presets.two_perlin_spheres())
     # multi-lobe (glass mesh + BVH-scale tris) -> general path
     assert not fsl.scene_supports_single_lobe(presets.mesh_ball(levels=3))
 
@@ -217,3 +218,49 @@ def test_ray_count_matches_general():
     _, cnt_j = wavefront.render_samples(scene, sampler, pix, 0, max_depth=4,
                                         msaa=2, return_ray_count=True)
     assert float(cnt_f) == pytest.approx(float(cnt_j), rel=1e-6)
+
+
+def _textured_scene():
+    """Checker floor + perlin marble sphere + solid-texture sphere under a
+    quad light and gradient env — exercises the in-kernel procedural
+    texture overlay (solid/checker/perlin; image textures stay general)."""
+    b = SceneBuilder()
+    g = b.geometry
+    checker = b.textures.add_checker((0.8, 0.2, 0.2), (0.9, 0.9, 0.85))
+    perlin = b.textures.add_perlin(2.0)
+    solid = b.textures.add_solid((0.2, 0.6, 0.3))
+    g.add_quad((-12, 0, -12), (24, 0, 0), (0, 0, 24),
+               b.materials.add_matte(tex_id=checker))
+    g.add_sphere((-1.5, 1, 0), 1.0, b.materials.add_matte(tex_id=perlin))
+    g.add_sphere((1.5, 1, 0), 1.0, b.materials.add_matte(tex_id=solid))
+    light_c = (6.0, 6.0, 6.0)
+    light = b.materials.add_diffuse_light(light_c)
+    g.add_quad((-2, 7, -2), (4, 0, 0), (0, 0, 4), light)
+    b.lights.add_area_quad(light_c, (-2, 7, -2), (4, 0, 0), (0, 0, 4))
+    b.lights.env = presets.BLUE_SKY
+    cam = cam_mod.make_camera((20, 20), 45.0)
+    b.camera = cam_mod.looking_at(cam, (0, 3, -10), (0, 1, 0), (0, 1, 0))
+    return b.build()
+
+
+def test_textured_matches_general_path():
+    scene = _textured_scene()
+    assert fsl.scene_supports_single_lobe(scene)
+    assert not fk.scene_supports_fused(scene)
+    _compare(scene, pix_n=20)
+
+
+def test_image_texture_stays_general():
+    b = SceneBuilder()
+    g = b.geometry
+    img = b.textures.add_image(np.full((4, 4, 3), 0.5, np.float32))
+    g.add_quad((-5, 0, -5), (10, 0, 0), (0, 0, 10),
+               b.materials.add_matte(tex_id=img))
+    c = (5.0, 5.0, 5.0)
+    m = b.materials.add_diffuse_light(c)
+    g.add_quad((-1, 4, -1), (2, 0, 0), (0, 0, 2), m)
+    b.lights.add_area_quad(c, (-1, 4, -1), (2, 0, 0), (0, 0, 2))
+    cam = cam_mod.make_camera((8, 8), 45.0)
+    b.camera = cam_mod.looking_at(cam, (0, 2, -6), (0, 0.5, 0), (0, 1, 0))
+    scene = b.build()
+    assert not fsl.scene_supports_single_lobe(scene)
