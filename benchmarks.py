@@ -170,6 +170,11 @@ def main():
         "mixed_spheres_485_800", presets.mixed_spheres(), (800, 800), 4, 5,
     ))
     print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+    results.append(run_config(
+        "two_perlin_textured_800", presets.two_perlin_spheres(),
+        (800, 800), 4, 5,
+    ))
+    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
 
     # BASELINE configs 4+5: the authored PBRT interior (scenes/interior) —
     # image env light, mixed materials, textures, PLY meshes, trace-time
