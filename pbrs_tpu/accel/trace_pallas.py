@@ -110,136 +110,144 @@ def _trace_kernel(*refs, counts, any_hit, do_types=(True, True, True, True)):
     ox, oy, oz, dx, dy, dz, tmax = refs[16:23]
     t_out, idx_out = refs[23:25]
     n_sph, n_quad, n_tri, n_disk = counts
-    rox, roy, roz = ox[...], oy[...], oz[...]
-    rdx, rdy, rdz = dx[...], dy[...], dz[...]
-    t_max = tmax[...]
+    # All-dead tile early-out: lanes killed upstream carry t_max <= 0
+    # (dead rays / RR kills are spatially coherent), so whole 64x128 tiles
+    # skip the primitive sweep on deep bounces.
+    t_out[...] = jnp.full(ox.shape, jnp.inf, jnp.float32)
+    idx_out[...] = jnp.full(ox.shape, -1, jnp.int32)
 
-    t_best = jnp.full(rox.shape, BIG, jnp.float32)
-    idx_best = jnp.full(rox.shape, -1, jnp.int32)
+    @pl.when(jnp.any(tmax[...] > 0.0))
+    def _run_tile():
+        rox, roy, roz = ox[...], oy[...], oz[...]
+        rdx, rdy, rdz = dx[...], dy[...], dz[...]
+        t_max = tmax[...]
 
-    def consider(t, ok, pid, carry):
+        t_best = jnp.full(rox.shape, BIG, jnp.float32)
+        idx_best = jnp.full(rox.shape, -1, jnp.int32)
+
+        def consider(t, ok, pid, carry):
+            t_best, idx_best = carry
+            t = jnp.where(ok & (t >= T_MIN) & (t < t_max), t, BIG)
+            closer = t < t_best
+            return jnp.where(closer, t, t_best), jnp.where(closer, pid, idx_best)
+
+        def sphere_body(i, carry):
+            p = lambda j: cols[j][i]
+            cx, cy, cz, r = p(0), p(1), p(2), p(3)
+            fx, fy, fz = rox - cx, roy - cy, roz - cz
+            a = rdx * rdx + rdy * rdy + rdz * rdz
+            b_pr = -(fx * rdx + fy * rdy + fz * rdz)
+            inv_a = 1.0 / jnp.maximum(a, 1e-30)
+            mx = fx + b_pr * inv_a * rdx
+            my = fy + b_pr * inv_a * rdy
+            mz = fz + b_pr * inv_a * rdz
+            delta = r * r - (mx * mx + my * my + mz * mz)
+            has = delta >= 0.0
+            c = fx * fx + fy * fy + fz * fz - r * r
+            q = b_pr + jnp.where(b_pr >= 0.0, 1.0, -1.0) * jnp.sqrt(
+                jnp.maximum(delta * a, 0.0)
+            )
+            q_s = jnp.where(q == 0.0, 1.0, q)
+            t0 = c / q_s
+            t1 = q * inv_a
+            t_lo = jnp.minimum(t0, t1)
+            t_hi = jnp.maximum(t0, t1)
+            ok = has & (q != 0.0)
+            lo_ok = ok & (t_lo >= T_MIN) & (t_lo < t_max)
+            t = jnp.where(lo_ok, t_lo, t_hi)
+            return consider(t, ok, i, carry)
+
+        def quad_body(i, carry):
+            p = lambda j: cols[j][sph_rows + i]
+            ox_, oy_, oz_ = p(0), p(1), p(2)
+            ux, uy, uz = p(3), p(4), p(5)
+            vx, vy, vz = p(6), p(7), p(8)
+            nx, ny, nz = p(9), p(10), p(11)
+            inv_n2 = 1.0 / p(12)
+            denom = rdx * nx + rdy * ny + rdz * nz
+            denom_s = jnp.where(denom == 0.0, 1.0, denom)
+            t = ((ox_ - rox) * nx + (oy_ - roy) * ny + (oz_ - roz) * nz) / denom_s
+            px = rox + t * rdx - ox_
+            py = roy + t * rdy - oy_
+            pz = roz + t * rdz - oz_
+            cx = py * vz - pz * vy
+            cy = pz * vx - px * vz
+            cz = px * vy - py * vx
+            uu = (cx * nx + cy * ny + cz * nz) * inv_n2
+            cx = uy * pz - uz * py
+            cy = uz * px - ux * pz
+            cz = ux * py - uy * px
+            vv = (cx * nx + cy * ny + cz * nz) * inv_n2
+            ok = (
+                (denom != 0.0)
+                & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0) & (vv <= 1.0)
+            )
+            return consider(t, ok, n_sph + i, carry)
+
+        do_sph, do_quad, do_tris, do_disk = do_types
+        # Bank rows follow the same layout but skip BVH-managed families.
+        sph_rows = n_sph if do_sph else 0
+        quad_rows = n_quad if do_quad else 0
+        tri_rows = n_tri if do_tris else 0
+
+        def tri_body(i, carry):
+            p = lambda j: cols[j][sph_rows + quad_rows + i]
+            p0x, p0y, p0z = p(0), p(1), p(2)
+            p1x, p1y, p1z = p(3), p(4), p(5)
+            p2x, p2y, p2z = p(6), p(7), p(8)
+            nx, ny, nz = p(9), p(10), p(11)
+            denom = rdx * nx + rdy * ny + rdz * nz
+            denom_s = jnp.where(denom == 0.0, 1.0, denom)
+            t = ((p0x - rox) * nx + (p0y - roy) * ny + (p0z - roz) * nz) / denom_s
+            hx = rox + t * rdx
+            hy = roy + t * rdy
+            hz = roz + t * rdz
+            # signed areas
+            def edge(ax, ay, az, bx, by, bz):
+                ex, ey, ez = hx - ax, hy - ay, hz - az
+                fx, fy, fz = hx - bx, hy - by, hz - bz
+                cx = ey * fz - ez * fy
+                cy = ez * fx - ex * fz
+                cz = ex * fy - ey * fx
+                return cx * nx + cy * ny + cz * nz
+            b2 = edge(p0x, p0y, p0z, p1x, p1y, p1z)
+            b0 = edge(p1x, p1y, p1z, p2x, p2y, p2z)
+            b1 = edge(p2x, p2y, p2z, p0x, p0y, p0z)
+            inside = ((b0 > 0) & (b1 > 0) & (b2 > 0)) | (
+                (b0 < 0) & (b1 < 0) & (b2 < 0)
+            )
+            ok = (denom != 0.0) & inside
+            return consider(t, ok, n_sph + n_quad + i, carry)
+
+        def disk_body(i, carry):
+            p = lambda j: cols[j][sph_rows + quad_rows + tri_rows + i]
+            cx_, cy_, cz_ = p(0), p(1), p(2)
+            nx, ny, nz = p(3), p(4), p(5)
+            r2 = p(6)
+            denom = rdx * nx + rdy * ny + rdz * nz
+            denom_s = jnp.where(denom == 0.0, 1.0, denom)
+            t = ((cx_ - rox) * nx + (cy_ - roy) * ny + (cz_ - roz) * nz) / denom_s
+            px = rox + t * rdx - cx_
+            py = roy + t * rdy - cy_
+            pz = roz + t * rdz - cz_
+            inside = px * px + py * py + pz * pz <= r2
+            ok = (denom != 0.0) & inside
+            return consider(t, ok, n_sph + n_quad + n_tri + i, carry)
+
+        carry = (t_best, idx_best)
+        if do_sph:
+            carry = jax.lax.fori_loop(0, n_sph, sphere_body, carry)
+        if do_quad:
+            carry = jax.lax.fori_loop(0, n_quad, quad_body, carry)
+        if do_tris:
+            carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
+        if do_disk:
+            carry = jax.lax.fori_loop(0, n_disk, disk_body, carry)
         t_best, idx_best = carry
-        t = jnp.where(ok & (t >= T_MIN) & (t < t_max), t, BIG)
-        closer = t < t_best
-        return jnp.where(closer, t, t_best), jnp.where(closer, pid, idx_best)
 
-    def sphere_body(i, carry):
-        p = lambda j: cols[j][i]
-        cx, cy, cz, r = p(0), p(1), p(2), p(3)
-        fx, fy, fz = rox - cx, roy - cy, roz - cz
-        a = rdx * rdx + rdy * rdy + rdz * rdz
-        b_pr = -(fx * rdx + fy * rdy + fz * rdz)
-        inv_a = 1.0 / jnp.maximum(a, 1e-30)
-        mx = fx + b_pr * inv_a * rdx
-        my = fy + b_pr * inv_a * rdy
-        mz = fz + b_pr * inv_a * rdz
-        delta = r * r - (mx * mx + my * my + mz * mz)
-        has = delta >= 0.0
-        c = fx * fx + fy * fy + fz * fz - r * r
-        q = b_pr + jnp.where(b_pr >= 0.0, 1.0, -1.0) * jnp.sqrt(
-            jnp.maximum(delta * a, 0.0)
-        )
-        q_s = jnp.where(q == 0.0, 1.0, q)
-        t0 = c / q_s
-        t1 = q * inv_a
-        t_lo = jnp.minimum(t0, t1)
-        t_hi = jnp.maximum(t0, t1)
-        ok = has & (q != 0.0)
-        lo_ok = ok & (t_lo >= T_MIN) & (t_lo < t_max)
-        t = jnp.where(lo_ok, t_lo, t_hi)
-        return consider(t, ok, i, carry)
-
-    def quad_body(i, carry):
-        p = lambda j: cols[j][sph_rows + i]
-        ox_, oy_, oz_ = p(0), p(1), p(2)
-        ux, uy, uz = p(3), p(4), p(5)
-        vx, vy, vz = p(6), p(7), p(8)
-        nx, ny, nz = p(9), p(10), p(11)
-        inv_n2 = 1.0 / p(12)
-        denom = rdx * nx + rdy * ny + rdz * nz
-        denom_s = jnp.where(denom == 0.0, 1.0, denom)
-        t = ((ox_ - rox) * nx + (oy_ - roy) * ny + (oz_ - roz) * nz) / denom_s
-        px = rox + t * rdx - ox_
-        py = roy + t * rdy - oy_
-        pz = roz + t * rdz - oz_
-        cx = py * vz - pz * vy
-        cy = pz * vx - px * vz
-        cz = px * vy - py * vx
-        uu = (cx * nx + cy * ny + cz * nz) * inv_n2
-        cx = uy * pz - uz * py
-        cy = uz * px - ux * pz
-        cz = ux * py - uy * px
-        vv = (cx * nx + cy * ny + cz * nz) * inv_n2
-        ok = (
-            (denom != 0.0)
-            & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0) & (vv <= 1.0)
-        )
-        return consider(t, ok, n_sph + i, carry)
-
-    do_sph, do_quad, do_tris, do_disk = do_types
-    # Bank rows follow the same layout but skip BVH-managed families.
-    sph_rows = n_sph if do_sph else 0
-    quad_rows = n_quad if do_quad else 0
-    tri_rows = n_tri if do_tris else 0
-
-    def tri_body(i, carry):
-        p = lambda j: cols[j][sph_rows + quad_rows + i]
-        p0x, p0y, p0z = p(0), p(1), p(2)
-        p1x, p1y, p1z = p(3), p(4), p(5)
-        p2x, p2y, p2z = p(6), p(7), p(8)
-        nx, ny, nz = p(9), p(10), p(11)
-        denom = rdx * nx + rdy * ny + rdz * nz
-        denom_s = jnp.where(denom == 0.0, 1.0, denom)
-        t = ((p0x - rox) * nx + (p0y - roy) * ny + (p0z - roz) * nz) / denom_s
-        hx = rox + t * rdx
-        hy = roy + t * rdy
-        hz = roz + t * rdz
-        # signed areas
-        def edge(ax, ay, az, bx, by, bz):
-            ex, ey, ez = hx - ax, hy - ay, hz - az
-            fx, fy, fz = hx - bx, hy - by, hz - bz
-            cx = ey * fz - ez * fy
-            cy = ez * fx - ex * fz
-            cz = ex * fy - ey * fx
-            return cx * nx + cy * ny + cz * nz
-        b2 = edge(p0x, p0y, p0z, p1x, p1y, p1z)
-        b0 = edge(p1x, p1y, p1z, p2x, p2y, p2z)
-        b1 = edge(p2x, p2y, p2z, p0x, p0y, p0z)
-        inside = ((b0 > 0) & (b1 > 0) & (b2 > 0)) | (
-            (b0 < 0) & (b1 < 0) & (b2 < 0)
-        )
-        ok = (denom != 0.0) & inside
-        return consider(t, ok, n_sph + n_quad + i, carry)
-
-    def disk_body(i, carry):
-        p = lambda j: cols[j][sph_rows + quad_rows + tri_rows + i]
-        cx_, cy_, cz_ = p(0), p(1), p(2)
-        nx, ny, nz = p(3), p(4), p(5)
-        r2 = p(6)
-        denom = rdx * nx + rdy * ny + rdz * nz
-        denom_s = jnp.where(denom == 0.0, 1.0, denom)
-        t = ((cx_ - rox) * nx + (cy_ - roy) * ny + (cz_ - roz) * nz) / denom_s
-        px = rox + t * rdx - cx_
-        py = roy + t * rdy - cy_
-        pz = roz + t * rdz - cz_
-        inside = px * px + py * py + pz * pz <= r2
-        ok = (denom != 0.0) & inside
-        return consider(t, ok, n_sph + n_quad + n_tri + i, carry)
-
-    carry = (t_best, idx_best)
-    if do_sph:
-        carry = jax.lax.fori_loop(0, n_sph, sphere_body, carry)
-    if do_quad:
-        carry = jax.lax.fori_loop(0, n_quad, quad_body, carry)
-    if do_tris:
-        carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
-    if do_disk:
-        carry = jax.lax.fori_loop(0, n_disk, disk_body, carry)
-    t_best, idx_best = carry
-
-    miss = t_best >= BIG
-    t_out[...] = jnp.where(miss, jnp.inf, t_best)
-    idx_out[...] = jnp.where(miss, -1, idx_best)
+        miss = t_best >= BIG
+        t_out[...] = jnp.where(miss, jnp.inf, t_best)
+        idx_out[...] = jnp.where(miss, -1, idx_best)
 
 
 @functools.partial(jax.jit, static_argnames=("counts", "interpret",

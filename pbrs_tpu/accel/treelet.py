@@ -331,117 +331,124 @@ def _treelet_row_resident(boxes_ref, tab_ref,
     rox, roy, roz = ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :]  # [1, rays]
     rdx, rdy, rdz = dx[r:r+1, :], dy[r:r+1, :], dz[r:r+1, :]
     t_max = tmax[r:r+1, :]
-    inv_x = 1.0 / jnp.where(rdx == 0.0, 1e-30, rdx)
-    inv_y = 1.0 / jnp.where(rdy == 0.0, 1e-30, rdy)
-    inv_z = 1.0 / jnp.where(rdz == 0.0, 1e-30, rdz)
+    # All-dead row early-out (dead lanes carry t_max <= 0): write misses
+    # and skip phase 1 + the round loop for the whole 1024-lane row.
+    t_out[r:r+1, :] = jnp.full((1, rays), jnp.inf, jnp.float32)
+    idx_out[r:r+1, :] = jnp.full((1, rays), -1, jnp.int32)
 
-    def all_keys():
-        boxes = boxes_ref[...]  # [t_pad, 8]
-        tx0 = (boxes[:, 0:1] - rox) * inv_x  # [t_pad, rays]
-        tx1 = (boxes[:, 3:4] - rox) * inv_x
-        ty0 = (boxes[:, 1:2] - roy) * inv_y
-        ty1 = (boxes[:, 4:5] - roy) * inv_y
-        tz0 = (boxes[:, 2:3] - roz) * inv_z
-        tz1 = (boxes[:, 5:6] - roz) * inv_z
-        t_enter = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1))
-        t_exit = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1))
-        gid = jax.lax.broadcasted_iota(jnp.int32, (t_pad, rays), 0)
-        hit_box = ((t_enter <= t_exit) & (t_exit >= T_MIN)
-                   & (t_enter < t_max) & (gid < t_count))
-        te = jnp.clip(t_enter, 0.0, BIG)
-        kbits = jax.lax.bitcast_convert_type(te, jnp.int32)
-        return jnp.where(hit_box, (kbits & ~gmask) | gid, INT_MAX)
+    @pl.when(jnp.any(t_max > 0.0))
+    def _run_row():
+        inv_x = 1.0 / jnp.where(rdx == 0.0, 1e-30, rdx)
+        inv_y = 1.0 / jnp.where(rdy == 0.0, 1e-30, rdy)
+        inv_z = 1.0 / jnp.where(rdz == 0.0, 1e-30, rdz)
 
-    def lane_alive(kmin, t_best, idx_best):
-        t_lb = jax.lax.bitcast_convert_type(kmin & ~gmask, jnp.float32)
-        alive = (kmin != INT_MAX) & (t_lb < t_best)
-        if any_hit:
-            alive = alive & (idx_best < 0)
-        return alive
+        def all_keys():
+            boxes = boxes_ref[...]  # [t_pad, 8]
+            tx0 = (boxes[:, 0:1] - rox) * inv_x  # [t_pad, rays]
+            tx1 = (boxes[:, 3:4] - rox) * inv_x
+            ty0 = (boxes[:, 1:2] - roy) * inv_y
+            ty1 = (boxes[:, 4:5] - roy) * inv_y
+            tz0 = (boxes[:, 2:3] - roz) * inv_z
+            tz1 = (boxes[:, 5:6] - roz) * inv_z
+            t_enter = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1))
+            t_exit = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1))
+            gid = jax.lax.broadcasted_iota(jnp.int32, (t_pad, rays), 0)
+            hit_box = ((t_enter <= t_exit) & (t_exit >= T_MIN)
+                       & (t_enter < t_max) & (gid < t_count))
+            te = jnp.clip(t_enter, 0.0, BIG)
+            kbits = jax.lax.bitcast_convert_type(te, jnp.int32)
+            return jnp.where(hit_box, (kbits & ~gmask) | gid, INT_MAX)
 
-    def mm(a, b):
-        return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32)
+        def lane_alive(kmin, t_best, idx_best):
+            t_lb = jax.lax.bitcast_convert_type(kmin & ~gmask, jnp.float32)
+            alive = (kmin != INT_MAX) & (t_lb < t_best)
+            if any_hit:
+                alive = alive & (idx_best < 0)
+            return alive
 
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (treelet, rays), 0)
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
 
-    def resolve(alive, g, tid_global, t_best, idx_best):
-        t_c, ok = _test_prims(
-            kind, g, nf, treelet, rox, roy, roz, rdx, rdy, rdz, t_max)
-        t_c = jnp.where(ok & alive, t_c, BIG)
-        tmin = jnp.min(t_c, axis=0, keepdims=True)  # [1, rays]
-        slot_sel = jnp.min(
-            jnp.where(t_c == tmin, slot_iota, INT_MAX),
-            axis=0, keepdims=True)
-        packed = tid_global * treelet + slot_sel
-        closer = tmin < t_best
-        t_best = jnp.where(closer, tmin, t_best)
-        idx_best = jnp.where(closer, packed, idx_best)
-        return t_best, idx_best
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (treelet, rays), 0)
 
-    # Keys are a while-loop VALUE (not a scratch ref: ref writes inside a
-    # Pallas while body do not persist across iterations). Marking uses a
-    # full-plane where (the per-column min is unique), so no dynamic
-    # update-slice is needed; the gather one-hot reads one CHUNK slice.
-    def cond(state):
-        keys, t_best, idx_best, nround = state
-        kmin = jnp.min(keys, axis=0, keepdims=True)
-        return jnp.sum(
-            lane_alive(kmin, t_best, idx_best).astype(jnp.float32)) > 0.0
+        def resolve(alive, g, tid_global, t_best, idx_best):
+            t_c, ok = _test_prims(
+                kind, g, nf, treelet, rox, roy, roz, rdx, rdy, rdz, t_max)
+            t_c = jnp.where(ok & alive, t_c, BIG)
+            tmin = jnp.min(t_c, axis=0, keepdims=True)  # [1, rays]
+            slot_sel = jnp.min(
+                jnp.where(t_c == tmin, slot_iota, INT_MAX),
+                axis=0, keepdims=True)
+            packed = tid_global * treelet + slot_sel
+            closer = tmin < t_best
+            t_best = jnp.where(closer, tmin, t_best)
+            idx_best = jnp.where(closer, packed, idx_best)
+            return t_best, idx_best
 
-    def body(state):
-        keys, t_best, idx_best, nround = state
-        rows3 = nf * treelet * 3
-        pending = None
-        for _ in range(UNROLL):
-            nround = nround + 1.0
+        # Keys are a while-loop VALUE (not a scratch ref: ref writes inside a
+        # Pallas while body do not persist across iterations). Marking uses a
+        # full-plane where (the per-column min is unique), so no dynamic
+        # update-slice is needed; the gather one-hot reads one CHUNK slice.
+        def cond(state):
+            keys, t_best, idx_best, nround = state
             kmin = jnp.min(keys, axis=0, keepdims=True)
-            alive = lane_alive(kmin, t_best, idx_best)
-            tid = kmin & gmask  # [1, rays] global treelet id
-            lane_chunk = jnp.where(alive, tid // CHUNK, n_chunks)
-            # scalar chunk for this round (clamped: all-dead rounds index
-            # chunk 0 with an empty one-hot)
-            c = jnp.minimum(jnp.min(lane_chunk), n_chunks - 1)
-            take = alive & (lane_chunk == c)
-            # Full-plane mark (the per-column min is unique); the gather's
-            # chunk-aligned one-hot folds the mark plane with a static
-            # chunk loop (Mosaic has no dynamic_slice on values).
-            mark = (keys == kmin) & take  # [t_pad, rays]
-            keys = jnp.where(mark, INT_MAX, keys)
-            if n_chunks == 1:
-                onehot = mark
-            else:
-                onehot = jnp.zeros((CHUNK, rays), bool)
-                for k in range(n_chunks):
-                    onehot = onehot | ((c == k)
-                                       & mark[k * CHUNK:(k + 1) * CHUNK])
-            g3 = mm(tab_ref[c], onehot.astype(jnp.bfloat16))
-            f3 = rows3 // 3
-            g = g3[0:f3] + g3[f3:2 * f3] + g3[2 * f3:]
-            if pending is not None:
-                t_best, idx_best = resolve(*pending, t_best, idx_best)
-            pending = (take, g, tid)
-        t_best, idx_best = resolve(*pending, t_best, idx_best)
-        return keys, t_best, idx_best, nround
+            return jnp.sum(
+                lane_alive(kmin, t_best, idx_best).astype(jnp.float32)) > 0.0
 
-    t_best0 = jnp.full((1, rays), BIG, jnp.float32)
-    idx0 = jnp.full((1, rays), -1, jnp.int32)
-    _, t_best, idx_best, nround = jax.lax.while_loop(
-        cond, body,
-        (all_keys(), t_best0, idx0, jnp.zeros((), jnp.float32)))
-    miss = t_best >= BIG
-    if debug_rounds:
-        t_out[r:r+1, :] = jnp.broadcast_to(nround * 100.0, (1, rays))
+        def body(state):
+            keys, t_best, idx_best, nround = state
+            rows3 = nf * treelet * 3
+            pending = None
+            for _ in range(UNROLL):
+                nround = nround + 1.0
+                kmin = jnp.min(keys, axis=0, keepdims=True)
+                alive = lane_alive(kmin, t_best, idx_best)
+                tid = kmin & gmask  # [1, rays] global treelet id
+                lane_chunk = jnp.where(alive, tid // CHUNK, n_chunks)
+                # scalar chunk for this round (clamped: all-dead rounds index
+                # chunk 0 with an empty one-hot)
+                c = jnp.minimum(jnp.min(lane_chunk), n_chunks - 1)
+                take = alive & (lane_chunk == c)
+                # Full-plane mark (the per-column min is unique); the gather's
+                # chunk-aligned one-hot folds the mark plane with a static
+                # chunk loop (Mosaic has no dynamic_slice on values).
+                mark = (keys == kmin) & take  # [t_pad, rays]
+                keys = jnp.where(mark, INT_MAX, keys)
+                if n_chunks == 1:
+                    onehot = mark
+                else:
+                    onehot = jnp.zeros((CHUNK, rays), bool)
+                    for k in range(n_chunks):
+                        onehot = onehot | ((c == k)
+                                           & mark[k * CHUNK:(k + 1) * CHUNK])
+                g3 = mm(tab_ref[c], onehot.astype(jnp.bfloat16))
+                f3 = rows3 // 3
+                g = g3[0:f3] + g3[f3:2 * f3] + g3[2 * f3:]
+                if pending is not None:
+                    t_best, idx_best = resolve(*pending, t_best, idx_best)
+                pending = (take, g, tid)
+            t_best, idx_best = resolve(*pending, t_best, idx_best)
+            return keys, t_best, idx_best, nround
+
+        t_best0 = jnp.full((1, rays), BIG, jnp.float32)
+        idx0 = jnp.full((1, rays), -1, jnp.int32)
+        _, t_best, idx_best, nround = jax.lax.while_loop(
+            cond, body,
+            (all_keys(), t_best0, idx0, jnp.zeros((), jnp.float32)))
+        miss = t_best >= BIG
+        if debug_rounds:
+            t_out[r:r+1, :] = jnp.broadcast_to(nround * 100.0, (1, rays))
+            idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
+            return
+        t_out[r:r+1, :] = jnp.where(miss, jnp.inf, t_best)
         idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
-        return
-    t_out[r:r+1, :] = jnp.where(miss, jnp.inf, t_best)
-    idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
 
 
 def _treelet_row(boxes_ref, tab_ref,
@@ -463,165 +470,172 @@ def _treelet_row(boxes_ref, tab_ref,
     rox, roy, roz = ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :]  # [1, rays]
     rdx, rdy, rdz = dx[r:r+1, :], dy[r:r+1, :], dz[r:r+1, :]
     t_max = tmax[r:r+1, :]
-    inv_x = 1.0 / jnp.where(rdx == 0.0, 1e-30, rdx)
-    inv_y = 1.0 / jnp.where(rdy == 0.0, 1e-30, rdy)
-    inv_z = 1.0 / jnp.where(rdz == 0.0, 1e-30, rdz)
+    # All-dead row early-out (dead lanes carry t_max <= 0): write misses
+    # and skip phase 1 + the round loop for the whole 1024-lane row.
+    t_out[r:r+1, :] = jnp.full((1, rays), jnp.inf, jnp.float32)
+    idx_out[r:r+1, :] = jnp.full((1, rays), -1, jnp.int32)
 
-    def chunk_keys(boxes, base):
-        """Slab-test one chunk's boxes -> int32 traversal keys [C, rays].
+    @pl.when(jnp.any(t_max > 0.0))
+    def _run_row():
+        inv_x = 1.0 / jnp.where(rdx == 0.0, 1e-30, rdx)
+        inv_y = 1.0 / jnp.where(rdy == 0.0, 1e-30, rdy)
+        inv_z = 1.0 / jnp.where(rdz == 0.0, 1e-30, rdz)
 
-        boxes: [CHUNK, 8] (xlo,ylo,zlo,xhi,yhi,zhi,_,_). Key = bits of the
-        clipped t_enter with the low LOCAL_BITS replaced by the in-chunk
-        treelet id — int-comparable, distinct, and a conservative *lower*
-        bound of t_enter (clearing mantissa bits only decreases the float).
-        """
-        tx0 = (boxes[:, 0:1] - rox) * inv_x  # [C, rays]
-        tx1 = (boxes[:, 3:4] - rox) * inv_x
-        ty0 = (boxes[:, 1:2] - roy) * inv_y
-        ty1 = (boxes[:, 4:5] - roy) * inv_y
-        tz0 = (boxes[:, 2:3] - roz) * inv_z
-        tz1 = (boxes[:, 5:6] - roz) * inv_z
-        t_enter = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1))
-        t_exit = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1))
-        lid = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, rays), 0)
-        # Padding columns (bbox +BIG/-BIG) can pass the slab test through
-        # f32 overflow (inf*x) — mask them out explicitly.
-        hit_box = ((t_enter <= t_exit) & (t_exit >= T_MIN)
-                   & (t_enter < t_max) & (base + lid < t_count))
-        te = jnp.clip(t_enter, 0.0, BIG)
-        kbits = jax.lax.bitcast_convert_type(te, jnp.int32)
-        return jnp.where(hit_box, (kbits & ~LOCAL_MASK) | lid, INT_MAX)
+        def chunk_keys(boxes, base):
+            """Slab-test one chunk's boxes -> int32 traversal keys [C, rays].
 
-    # ---- phase 1: per-chunk, per-lane min key (chunk skip bounds) ----
-    mins = []
-    for kk in range(n_chunks):
-        keys_kk = chunk_keys(boxes_ref[kk*CHUNK:(kk+1)*CHUNK, :], kk * CHUNK)
-        mins.append(jnp.min(keys_kk, axis=0, keepdims=True))
-    chunkmins = jnp.concatenate(mins, axis=0) if n_chunks > 1 else mins[0]
+            boxes: [CHUNK, 8] (xlo,ylo,zlo,xhi,yhi,zhi,_,_). Key = bits of the
+            clipped t_enter with the low LOCAL_BITS replaced by the in-chunk
+            treelet id — int-comparable, distinct, and a conservative *lower*
+            bound of t_enter (clearing mantissa bits only decreases the float).
+            """
+            tx0 = (boxes[:, 0:1] - rox) * inv_x  # [C, rays]
+            tx1 = (boxes[:, 3:4] - rox) * inv_x
+            ty0 = (boxes[:, 1:2] - roy) * inv_y
+            ty1 = (boxes[:, 4:5] - roy) * inv_y
+            tz0 = (boxes[:, 2:3] - roz) * inv_z
+            tz1 = (boxes[:, 5:6] - roz) * inv_z
+            t_enter = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1))
+            t_exit = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1))
+            lid = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, rays), 0)
+            # Padding columns (bbox +BIG/-BIG) can pass the slab test through
+            # f32 overflow (inf*x) — mask them out explicitly.
+            hit_box = ((t_enter <= t_exit) & (t_exit >= T_MIN)
+                       & (t_enter < t_max) & (base + lid < t_count))
+            te = jnp.clip(t_enter, 0.0, BIG)
+            kbits = jax.lax.bitcast_convert_type(te, jnp.int32)
+            return jnp.where(hit_box, (kbits & ~LOCAL_MASK) | lid, INT_MAX)
 
-    t_best0 = jnp.full((1, rays), BIG, jnp.float32)
-    idx0 = jnp.full((1, rays), -1, jnp.int32)
-    crow = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, rays), 0)
+        # ---- phase 1: per-chunk, per-lane min key (chunk skip bounds) ----
+        mins = []
+        for kk in range(n_chunks):
+            keys_kk = chunk_keys(boxes_ref[kk*CHUNK:(kk+1)*CHUNK, :], kk * CHUNK)
+            mins.append(jnp.min(keys_kk, axis=0, keepdims=True))
+        chunkmins = jnp.concatenate(mins, axis=0) if n_chunks > 1 else mins[0]
 
-    def lane_alive(kmin, t_best, idx_best):
-        t_lb = jax.lax.bitcast_convert_type(kmin & ~LOCAL_MASK, jnp.float32)
-        alive = (kmin != INT_MAX) & (t_lb < t_best)
-        if any_hit:
-            alive = alive & (idx_best < 0)
-        return alive
+        t_best0 = jnp.full((1, rays), BIG, jnp.float32)
+        idx0 = jnp.full((1, rays), -1, jnp.int32)
+        crow = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, rays), 0)
 
-    # bf16 one-hot matmuls are exact here: each one-hot column selects a
-    # single bf16 table entry (a sum with one nonzero term), so the
-    # f32-accumulated result IS that entry, and the f32 sum of the three
-    # splits reconstructs the original f32 bit-exactly. precision=DEFAULT
-    # overrides the package-wide "highest" matmul precision (one-pass bf16
-    # is already exact); Mosaic requires the 32-bit accumulator.
-    def mm(a, b):
-        return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32)
+        def lane_alive(kmin, t_best, idx_best):
+            t_lb = jax.lax.bitcast_convert_type(kmin & ~LOCAL_MASK, jnp.float32)
+            alive = (kmin != INT_MAX) & (t_lb < t_best)
+            if any_hit:
+                alive = alive & (idx_best < 0)
+            return alive
 
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (treelet, rays), 0)
+        # bf16 one-hot matmuls are exact here: each one-hot column selects a
+        # single bf16 table entry (a sum with one nonzero term), so the
+        # f32-accumulated result IS that entry, and the f32 sum of the three
+        # splits reconstructs the original f32 bit-exactly. precision=DEFAULT
+        # overrides the package-wide "highest" matmul precision (one-pass bf16
+        # is already exact); Mosaic requires the 32-bit accumulator.
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
 
-    def resolve(alive, g, tid_global, t_best, idx_best):
-        """Dense prim test of the gathered treelet + best-hit update.
-        Winner identity is packed as tid_global*treelet + slot; the host
-        maps it to the family's prim index via slot_prim."""
-        t_c, ok = _test_prims(
-            kind, g, nf, treelet, rox, roy, roz, rdx, rdy, rdz, t_max)
-        t_c = jnp.where(ok & alive, t_c, BIG)
-        tmin = jnp.min(t_c, axis=0, keepdims=True)  # [1, rays]
-        slot_sel = jnp.min(
-            jnp.where(t_c == tmin, slot_iota, INT_MAX),
-            axis=0, keepdims=True)
-        packed = tid_global * treelet + slot_sel
-        closer = tmin < t_best
-        t_best = jnp.where(closer, tmin, t_best)
-        idx_best = jnp.where(closer, packed, idx_best)
-        return t_best, idx_best
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (treelet, rays), 0)
 
-    def outer_cond(state):
-        k, t_best, idx_best, nround, nchunk = state
-        t_best, idx_best = t_best, idx_best
-        rem = jnp.min(jnp.where(crow >= k, chunkmins, INT_MAX),
-                      axis=0, keepdims=True)
-        alive = lane_alive(rem, t_best, idx_best)
-        return jnp.sum(alive.astype(jnp.float32)) > 0.0
+        def resolve(alive, g, tid_global, t_best, idx_best):
+            """Dense prim test of the gathered treelet + best-hit update.
+            Winner identity is packed as tid_global*treelet + slot; the host
+            maps it to the family's prim index via slot_prim."""
+            t_c, ok = _test_prims(
+                kind, g, nf, treelet, rox, roy, roz, rdx, rdy, rdz, t_max)
+            t_c = jnp.where(ok & alive, t_c, BIG)
+            tmin = jnp.min(t_c, axis=0, keepdims=True)  # [1, rays]
+            slot_sel = jnp.min(
+                jnp.where(t_c == tmin, slot_iota, INT_MAX),
+                axis=0, keepdims=True)
+            packed = tid_global * treelet + slot_sel
+            closer = tmin < t_best
+            t_best = jnp.where(closer, tmin, t_best)
+            idx_best = jnp.where(closer, packed, idx_best)
+            return t_best, idx_best
 
-    def outer_body(state):
-        k, t_best, idx_best, nround, nchunk = state
-        this = jnp.min(jnp.where(crow == k, chunkmins, INT_MAX),
-                       axis=0, keepdims=True)
-        want = lane_alive(this, t_best, idx_best)
-        skip = jnp.sum(want.astype(jnp.float32)) == 0.0
+        def outer_cond(state):
+            k, t_best, idx_best, nround, nchunk = state
+            t_best, idx_best = t_best, idx_best
+            rem = jnp.min(jnp.where(crow >= k, chunkmins, INT_MAX),
+                          axis=0, keepdims=True)
+            alive = lane_alive(rem, t_best, idx_best)
+            return jnp.sum(alive.astype(jnp.float32)) > 0.0
 
-        def visit(t_best, idx_best, nround, nchunk):
-            nchunk = nchunk + 1.0
-            # DMA this chunk's stacked table HBM -> VMEM scratch.
-            cp = pltpu.make_async_copy(tab_ref.at[k], tc, sems.at[0])
-            cp.start()
-            keys_c = chunk_keys(boxes_ref[pl.ds(k * CHUNK, CHUNK), :],
-                                k * CHUNK)
-            cp.wait()
+        def outer_body(state):
+            k, t_best, idx_best, nround, nchunk = state
+            this = jnp.min(jnp.where(crow == k, chunkmins, INT_MAX),
+                           axis=0, keepdims=True)
+            want = lane_alive(this, t_best, idx_best)
+            skip = jnp.sum(want.astype(jnp.float32)) == 0.0
 
-            def cond(istate):
-                keys_c, t_best, idx_best, nround = istate
-                kmin = jnp.min(keys_c, axis=0, keepdims=True)
-                alive = lane_alive(kmin, t_best, idx_best)
-                return jnp.sum(alive.astype(jnp.float32)) > 0.0
+            def visit(t_best, idx_best, nround, nchunk):
+                nchunk = nchunk + 1.0
+                # DMA this chunk's stacked table HBM -> VMEM scratch.
+                cp = pltpu.make_async_copy(tab_ref.at[k], tc, sems.at[0])
+                cp.start()
+                keys_c = chunk_keys(boxes_ref[pl.ds(k * CHUNK, CHUNK), :],
+                                    k * CHUNK)
+                cp.wait()
 
-            def body(istate):
-                keys_c, t_best, idx_best, nround = istate
-                # Unrolled rounds with the alive mask frozen for the group:
-                # the next one-hot depends only on key marking (pure VPU),
-                # not on the previous resolve, so the UNROLL gathers
-                # pipeline on the MXU while resolves overlap on the VPU.
-                # A lane may test up to UNROLL-1 treelets past the point
-                # where its hit already beats every remaining key — extra
-                # visits bought for ~2x less serialization.
-                rows3 = tc.shape[0]
-                f3 = rows3 // 3
-                pending = None
-                for _ in range(UNROLL):
-                    nround = nround + 1.0
+                def cond(istate):
+                    keys_c, t_best, idx_best, nround = istate
                     kmin = jnp.min(keys_c, axis=0, keepdims=True)
                     alive = lane_alive(kmin, t_best, idx_best)
-                    onehot = (keys_c == kmin) & alive  # [C, rays]
-                    keys_c = jnp.where(onehot, INT_MAX, keys_c)
-                    g3 = mm(tc[...], onehot.astype(jnp.bfloat16))
-                    g = g3[0:f3] + g3[f3:2 * f3] + g3[2 * f3:]
-                    if pending is not None:
-                        t_best, idx_best = resolve(*pending, t_best, idx_best)
-                    pending = (alive, g, k * CHUNK + (kmin & LOCAL_MASK))
-                t_best, idx_best = resolve(*pending, t_best, idx_best)
-                return keys_c, t_best, idx_best, nround
+                    return jnp.sum(alive.astype(jnp.float32)) > 0.0
 
-            _, t_best, idx_best, nround = jax.lax.while_loop(
-                cond, body, (keys_c, t_best, idx_best, nround))
-            return t_best, idx_best, nround, nchunk
+                def body(istate):
+                    keys_c, t_best, idx_best, nround = istate
+                    # Unrolled rounds with the alive mask frozen for the group:
+                    # the next one-hot depends only on key marking (pure VPU),
+                    # not on the previous resolve, so the UNROLL gathers
+                    # pipeline on the MXU while resolves overlap on the VPU.
+                    # A lane may test up to UNROLL-1 treelets past the point
+                    # where its hit already beats every remaining key — extra
+                    # visits bought for ~2x less serialization.
+                    rows3 = tc.shape[0]
+                    f3 = rows3 // 3
+                    pending = None
+                    for _ in range(UNROLL):
+                        nround = nround + 1.0
+                        kmin = jnp.min(keys_c, axis=0, keepdims=True)
+                        alive = lane_alive(kmin, t_best, idx_best)
+                        onehot = (keys_c == kmin) & alive  # [C, rays]
+                        keys_c = jnp.where(onehot, INT_MAX, keys_c)
+                        g3 = mm(tc[...], onehot.astype(jnp.bfloat16))
+                        g = g3[0:f3] + g3[f3:2 * f3] + g3[2 * f3:]
+                        if pending is not None:
+                            t_best, idx_best = resolve(*pending, t_best, idx_best)
+                        pending = (alive, g, k * CHUNK + (kmin & LOCAL_MASK))
+                    t_best, idx_best = resolve(*pending, t_best, idx_best)
+                    return keys_c, t_best, idx_best, nround
 
-        t_best, idx_best, nround, nchunk = jax.lax.cond(
-            skip, lambda a, b, c, d: (a, b, c, d), visit,
-            t_best, idx_best, nround, nchunk)
-        return k + 1, t_best, idx_best, nround, nchunk
+                _, t_best, idx_best, nround = jax.lax.while_loop(
+                    cond, body, (keys_c, t_best, idx_best, nround))
+                return t_best, idx_best, nround, nchunk
 
-    _, t_best, idx_best, nround, nchunk = jax.lax.while_loop(
-        outer_cond, outer_body,
-        (jnp.int32(0), t_best0, idx0, jnp.zeros((), jnp.float32),
-         jnp.zeros((), jnp.float32)))
-    miss = t_best >= BIG
-    if debug_rounds:
-        t_out[r:r+1, :] = jnp.broadcast_to(nround * 100.0 + nchunk,
-                                           (1, rays))
+            t_best, idx_best, nround, nchunk = jax.lax.cond(
+                skip, lambda a, b, c, d: (a, b, c, d), visit,
+                t_best, idx_best, nround, nchunk)
+            return k + 1, t_best, idx_best, nround, nchunk
+
+        _, t_best, idx_best, nround, nchunk = jax.lax.while_loop(
+            outer_cond, outer_body,
+            (jnp.int32(0), t_best0, idx0, jnp.zeros((), jnp.float32),
+             jnp.zeros((), jnp.float32)))
+        miss = t_best >= BIG
+        if debug_rounds:
+            t_out[r:r+1, :] = jnp.broadcast_to(nround * 100.0 + nchunk,
+                                               (1, rays))
+            idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
+            return
+        t_out[r:r+1, :] = jnp.where(miss, jnp.inf, t_best)
         idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
-        return
-    t_out[r:r+1, :] = jnp.where(miss, jnp.inf, t_best)
-    idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_chunks", "t_count",
