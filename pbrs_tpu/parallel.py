@@ -106,6 +106,12 @@ def render_image_sharded(scene, spp: int, mesh: Mesh, max_depth=5, seed=0,
     done = 0
     spp_total = msaa * msaa
     fns = {}
+    # Scene-aware trace fns (Pallas tracers, trace-time instance groups):
+    # built once on the host; the default scene.geom fallback inside
+    # wavefront.render_samples would silently drop instanced geometry.
+    from .accel import dispatch as _dispatch
+
+    trace_fns = _dispatch.make_trace_fns(scene)
 
     def fn_for(batch):
         if batch not in fns:
@@ -113,6 +119,7 @@ def render_image_sharded(scene, spp: int, mesh: Mesh, max_depth=5, seed=0,
                 lambda sc, pix, base: render_batch_sharded(
                     sc, sampler, pix, base, batch, mesh,
                     max_depth=max_depth, msaa=msaa, use_nee=use_nee,
+                    trace_fns=trace_fns,
                 )
             )
         return fns[batch]

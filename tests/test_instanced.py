@@ -233,3 +233,20 @@ WorldEnd
     isect, _ = dispatch.make_trace_fns(scene, use_pallas=False)
     h = isect(_rays([[10, 0, 0], [0, 10, 0]], [[-1, 0, 0], [0, -1, 0]]))
     np.testing.assert_allclose(np.asarray(h.t), [7.0, 9.0], atol=1e-4)
+
+
+def test_sharded_render_includes_instanced_geometry():
+    # render_image_sharded must route through the instancing-aware trace
+    # fns — the plain scene.geom fallback would silently drop groups.
+    import jax
+    from pbrs_tpu import parallel, render
+
+    scene = _ellipsoid_scene((2.0, 1.0, 1.0))
+    cam = scene.camera
+    mesh = parallel.make_mesh(2, 2, devices=jax.devices()[:4])
+    img_sharded = parallel.render_image_sharded(scene, 4, mesh, max_depth=2)
+    img_single, _ = render.render_image(scene, spp=4, max_depth=2,
+                                        use_pallas=False)
+    np.testing.assert_allclose(np.asarray(img_sharded),
+                               np.asarray(img_single), atol=1e-5)
+    assert float(np.abs(np.asarray(img_sharded)).sum()) > 0.0
