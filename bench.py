@@ -71,16 +71,31 @@ def main():
         r, c = step(s)
         r.block_until_ready()
 
-    t0 = time.time()
+    # Median of 3 timed repetitions: the recorded headline must not wobble
+    # with host load or clock variance (round-2 review: 138.79 vs 148.03
+    # was a single-run artifact).
+    reps = 3
+    rates = []
     total_rays = 0.0
     checksum = 0.0
-    for s in range(warmup_samples, warmup_samples + bench_samples):
-        r, c = step(s)
-        checksum += float(r)
-        total_rays += float(c)
-    elapsed = time.time() - t0
+    elapsed = 0.0
+    for rep in range(reps):
+        t0 = time.time()
+        rep_rays = 0.0
+        base = warmup_samples + rep * bench_samples
+        for s in range(base, base + bench_samples):
+            r, c = step(s)
+            if rep == 0:
+                checksum += float(r)
+            else:
+                float(r)
+            rep_rays += float(c)
+        dt = time.time() - t0
+        rates.append(rep_rays / dt / 1e6)
+        total_rays += rep_rays
+        elapsed += dt
 
-    mrays = total_rays / elapsed / 1e6
+    mrays = sorted(rates)[reps // 2]
     result = {
         "metric": "cornell_box_1024_path8_throughput",
         "value": round(mrays, 2),

@@ -82,17 +82,26 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
         acc0, cnt = fn(0)
         acc0.block_until_ready()
         iters = max(1, min(4, (msaa * msaa) // samples_per_launch))
-        t0 = time.time()
-        total = 0.0
+        # Median of 3 timed repetitions (same variance control as bench.py).
+        rates, times = [], []
         acc = 0.0
-        for s in range(1, 1 + iters):
-            a, cnt = fn(s * samples_per_launch)
-            total += float(cnt)
-            acc += float(a)
-        dt = time.time() - t0
+        for rep in range(3):
+            t0 = time.time()
+            total = 0.0
+            for s in range(1, 1 + iters):
+                a, cnt = fn((rep * iters + s) * samples_per_launch)
+                total += float(cnt)
+                if rep == 0:
+                    acc += float(a)
+                else:
+                    float(a)
+            dt = time.time() - t0
+            rates.append(total / dt / 1e6)
+            times.append(dt)
+        dt = sorted(times)[1]
+        mrays = sorted(rates)[1]
         iters_samples = iters * samples_per_launch
         full_time = dt / iters_samples * (msaa * msaa)
-        mrays = total / dt / 1e6
         return {
             "config": name, "resolution": list(size), "spp": msaa * msaa,
             "depth": depth, "mrays_per_sec": round(mrays, 2),

@@ -16,7 +16,15 @@ Device side:
   fixed-iteration fori_loop.
 
 The coefficient order is capped at M_CAP (static); tables with longer runs
-are truncated with an energy warning. One table per scene is supported.
+are truncated with an energy warning (`truncation_energy_ratio` quantifies
+the dropped tail; tests/test_fourier.py bounds the induced eval error).
+
+Multiple tables per scene (the reference gives each Fourier material its
+own table, material/src/lib.rs:451-475) are supported by stacking tables
+along the row axis (`concat_tables`): cdf/a0/m_lookup become
+[T*n_mu, n_mu], a_dense [T*n_mu², C, M], and every eval/pdf/sample takes a
+per-lane `table_idx` that offsets the pair index — same code path, zero
+cost for single-table scenes.
 """
 
 from __future__ import annotations
@@ -43,6 +51,7 @@ class FourierTable:
     eta: float = fstruct.field(pytree_node=False, default=1.0)
     n_channels: int = fstruct.field(pytree_node=False, default=3)
     m_cap: int = fstruct.field(pytree_node=False, default=M_CAP)
+    n_tables: int = fstruct.field(pytree_node=False, default=1)
 
 
 def load_scatfun(path: str) -> FourierTable:
@@ -144,6 +153,72 @@ def make_lambert_table(albedo=0.5, n_mu=16) -> FourierTable:
     return build_table(3, mu, cdf, a_offset, m_lookup, coeffs)
 
 
+def truncation_energy_ratio(m_lookup, a_offset, coefficients, n_channels,
+                            m_cap=M_CAP) -> float:
+    """Fraction of summed |a_k| (luminance channel) dropped by capping the
+    series at m_cap — the quantity the build warning reports. 0.0 means the
+    cap is lossless for this table."""
+    m_lookup = np.asarray(m_lookup, np.int64).reshape(-1)
+    a_offset = np.asarray(a_offset, np.int64).reshape(-1)
+    coefficients = np.asarray(coefficients, np.float32)
+    kept = 0.0
+    dropped = 0.0
+    for idx in range(m_lookup.shape[0]):
+        m = int(m_lookup[idx])
+        if m == 0:
+            continue
+        start = int(a_offset[idx])
+        y_run = np.abs(coefficients[start:start + m])  # channel 0 slice
+        kept += float(y_run[:m_cap].sum())
+        dropped += float(y_run[m_cap:].sum())
+    total = kept + dropped
+    return dropped / total if total > 0 else 0.0
+
+
+def concat_tables(tables) -> FourierTable:
+    """Stack several FourierTables into one multi-table FourierTable.
+
+    Requires identical mu grids (layerlab emits the standard grid; a
+    mismatch raises). m_cap pads to the max; 1-channel tables replicate the
+    luminance run into the r/b channels (g then reconstructs to y within
+    1e-6 via the rgb matrix). [ref: material/src/lib.rs:451-475 — one table
+    per Fourier material]"""
+    if len(tables) == 1:
+        return tables[0]
+    mu0 = np.asarray(tables[0].mu)
+    n_mu = mu0.shape[0]
+    for t in tables[1:]:
+        if np.asarray(t.mu).shape != mu0.shape or not np.allclose(
+                np.asarray(t.mu), mu0, atol=1e-6):
+            raise ValueError(
+                "fourier tables with differing mu grids cannot share a "
+                "scene; resample offline")
+    m_cap = max(t.m_cap for t in tables)
+    n_ch = max(t.n_channels for t in tables)
+    cdfs, a0s, denses, lookups = [], [], [], []
+    for t in tables:
+        cdfs.append(np.asarray(t.cdf))
+        a0s.append(np.asarray(t.a0))
+        lookups.append(np.asarray(t.m_lookup))
+        d = np.asarray(t.a_dense)
+        if t.n_channels < n_ch:
+            d = np.repeat(d, n_ch, axis=1)[:, :n_ch]
+        if t.m_cap < m_cap:
+            d = np.pad(d, ((0, 0), (0, 0), (0, m_cap - t.m_cap)))
+        denses.append(d)
+    return FourierTable(
+        mu=jnp.asarray(mu0),
+        cdf=jnp.asarray(np.concatenate(cdfs, axis=0)),
+        a0=jnp.asarray(np.concatenate(a0s, axis=0)),
+        a_dense=jnp.asarray(np.concatenate(denses, axis=0)),
+        m_lookup=jnp.asarray(np.concatenate(lookups, axis=0)),
+        eta=tables[0].eta,
+        n_channels=n_ch,
+        m_cap=m_cap,
+        n_tables=len(tables),
+    )
+
+
 # ------------------------------ device math --------------------------------
 
 
@@ -157,7 +232,13 @@ def _cos_dphi(wo, wi_neg):
     return jnp.clip(r, -1.0, 1.0)
 
 
-def _mix_coefficients(table: FourierTable, mu_i, mu_o):
+def _tidx(table, table_idx, like):
+    if table.n_tables == 1 or table_idx is None:
+        return jnp.zeros(jnp.shape(like), jnp.int32)
+    return jnp.clip(jnp.asarray(table_idx, jnp.int32), 0, table.n_tables - 1)
+
+
+def _mix_coefficients(table: FourierTable, mu_i, mu_o, table_idx=None):
     """Catmull-Rom-weighted 16-pair coefficient mix.
     Returns ak [N, C, M] and valid mask. [ref: fourier.rs:327-346]"""
     n_mu = table.mu.shape[0]
@@ -169,6 +250,8 @@ def _mix_coefficients(table: FourierTable, mu_i, mu_o):
     w = w_o[..., :, None] * w_i[..., None, :]
     pair = taps_o[..., :, None] * n_mu + taps_i[..., None, :]
     flat_pair = pair.reshape(pair.shape[0], 16)
+    tid = _tidx(table, table_idx, mu_i)
+    flat_pair = flat_pair + (tid * n_mu * n_mu)[..., None]
     flat_w = w.reshape(w.shape[0], 16)
     rows = table.a_dense[flat_pair]  # [N,16,C,M] gather
     ak = jnp.einsum("np,npcm->ncm", flat_w, rows)
@@ -203,12 +286,12 @@ def _rgb_from_channels(y, r, b, scale):
     return jnp.clip(rgb, 0.0, None)
 
 
-def eval_fourier(table: FourierTable, wo, wi):
+def eval_fourier(table: FourierTable, wo, wi, table_idx=None):
     """f(wo, wi) [N,3]. [ref: fourier.rs:299-360]"""
     mu_i = -wi[..., 2]
     mu_o = wo[..., 2]
     cos_phi = _cos_dphi(wo, -wi)
-    ak, valid, _ = _mix_coefficients(table, mu_i, mu_o)
+    ak, valid, _ = _mix_coefficients(table, mu_i, mu_o, table_idx)
     basis = _cos_basis(cos_phi, table.m_cap)
     vals = _series(ak, basis)  # [N, C]
     scale = jnp.where(mu_i != 0.0, 1.0 / jnp.abs(mu_i), 0.0)
@@ -221,22 +304,26 @@ def eval_fourier(table: FourierTable, wo, wi):
     return jnp.where(valid[..., None], rgb, 0.0)
 
 
-def pdf_fourier(table: FourierTable, wo, wi):
+def pdf_fourier(table: FourierTable, wo, wi, table_idx=None):
     """Sampling density of wi. [ref: fourier.rs:445-485]"""
     mu_i = -wi[..., 2]
     mu_o = wo[..., 2]
     cos_phi = _cos_dphi(wo, -wi)
-    ak, valid, (off_o, w_o, taps_o) = _mix_coefficients(table, mu_i, mu_o)
+    ak, valid, (off_o, w_o, taps_o) = _mix_coefficients(
+        table, mu_i, mu_o, table_idx)
     basis = _cos_basis(cos_phi, table.m_cap)
     y = jnp.maximum(_series(ak, basis)[..., 0], 0.0)
     # rho = Σ_o w_o · cdf[tap_o, last] · 2π
+    n_mu = table.mu.shape[0]
+    tid = _tidx(table, table_idx, mu_i)
     last = table.cdf[:, -1]
-    rho = jnp.sum(w_o * last[taps_o], axis=-1) * 2.0 * jnp.pi
+    rho = jnp.sum(w_o * last[tid[..., None] * n_mu + taps_o],
+                  axis=-1) * 2.0 * jnp.pi
     pdf = jnp.where(rho > 0.0, y / jnp.where(rho > 0.0, rho, 1.0), 0.0)
     return jnp.where(valid, pdf, 0.0)
 
 
-def _sample_zenith(table: FourierTable, mu_o, v):
+def _sample_zenith(table: FourierTable, mu_o, v, table_idx=None):
     """Inverse-CDF sample of mu_i from the tabulated marginal for each μo
     (piecewise-linear approximation of the reference's
     sample_catmull_rom_2d, math/src/spline.rs:240-310).
@@ -244,6 +331,8 @@ def _sample_zenith(table: FourierTable, mu_o, v):
     n_mu = table.mu.shape[0]
     off_o, w_o = spl.catmull_rom_weights(table.mu, mu_o)
     taps_o = spl.catmull_rom_taps(table.mu, off_o)
+    tid = _tidx(table, table_idx, mu_o)
+    taps_o = tid[..., None] * n_mu + taps_o
     # Interpolated CDF row and marginal (a0) row for this μo.
     cdf_row = jnp.einsum("nk,nki->ni", w_o, table.cdf[taps_o])  # [N, n_mu]
     a0_row = jnp.einsum("nk,nki->ni", w_o, table.a0[taps_o])
@@ -307,13 +396,13 @@ def _sample_azimuth(ak_y, u, m_cap, iters=24):
     return f, phi, jnp.maximum(pdf, 0.0)
 
 
-def sample_fourier_bsdf(table: FourierTable, wo, u2):
+def sample_fourier_bsdf(table: FourierTable, wo, u2, table_idx=None):
     """Sample wi. Returns (f [N,3], wi [N,3], pdf [N]).
     [ref: fourier.rs:362-442]"""
     u, v = u2[..., 0], u2[..., 1]
     mu_o = wo[..., 2]
-    mu_i, pdf_mu = _sample_zenith(table, mu_o, v)
-    ak, valid, _ = _mix_coefficients(table, mu_i, mu_o)
+    mu_i, pdf_mu = _sample_zenith(table, mu_o, v, table_idx)
+    ak, valid, _ = _mix_coefficients(table, mu_i, mu_o, table_idx)
     y_f, phi, pdf_phi = _sample_azimuth(ak[:, 0, :], u, table.m_cap)
     pdf = jnp.maximum(pdf_phi * pdf_mu, 0.0)
 

@@ -102,6 +102,12 @@ def is_delta_kind(kind):
     )
 
 
+def _fourier_idx(lb: "Lobes"):
+    """Per-lane Fourier table index, stashed in alpha[..., 0] by the
+    material builder (multi-table scenes; 0 for single-table)."""
+    return lb.alpha[..., 0].astype(jnp.int32)
+
+
 # --------------------------- sampling helpers ------------------------------
 
 
@@ -231,7 +237,8 @@ def eval_lobe(lb: Lobes, wo, wi):
 
         out = jnp.where(
             k[..., None] == FOURIER,
-            fourier_mod.eval_fourier(lb.fourier, wo, wi), out,
+            fourier_mod.eval_fourier(lb.fourier, wo, wi,
+                                     _fourier_idx(lb)), out,
         )
     return out
 
@@ -263,7 +270,9 @@ def pdf_lobe(lb: Lobes, wo, wi):
         from . import fourier as fourier_mod
 
         out = jnp.where(
-            k == FOURIER, fourier_mod.pdf_fourier(lb.fourier, wo, wi), out
+            k == FOURIER,
+            fourier_mod.pdf_fourier(lb.fourier, wo, wi, _fourier_idx(lb)),
+            out,
         )
     return jnp.maximum(out, 0.0)
 
@@ -340,7 +349,8 @@ def sample_lobe(lb: Lobes, wo, u2):
     if has(FOURIER) and lb.fourier is not None:
         from . import fourier as fourier_mod
 
-        f_f, wi_f, pdf_f = fourier_mod.sample_fourier_bsdf(lb.fourier, wo, u2)
+        f_f, wi_f, pdf_f = fourier_mod.sample_fourier_bsdf(
+            lb.fourier, wo, u2, _fourier_idx(lb))
         wi = jnp.where(k[..., None] == FOURIER, wi_f, wi)
 
     # --- smooth f/pdf via shared eval ---

@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--depth", type=int, default=5,
                    help="max path depth [ref hard-codes 5: main.rs:205]")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sampler", default="pcg",
+                   choices=["pcg", "sobol", "threefry"],
+                   help="random sampler: pcg hash (default) or "
+                        "Owen-scrambled Sobol (lower variance at equal spp)")
     p.add_argument("--resolution", default=None, metavar="WxH",
                    help="override the scene camera resolution")
     p.add_argument("--filter", default=None, metavar="KIND:RADIUS",
@@ -132,6 +136,7 @@ def main(argv=None) -> int:
         checkpoint_every=args.checkpoint_every,
         pixel_filter=pixel_filter,
         profile_dir=args.profile_dir,
+        sampler_kind=args.sampler,
     )
     wall = time.time() - t0
     mrays = stats.traced_rays / max(stats.wall_time, 1e-9) / 1e6

@@ -96,6 +96,119 @@ class PCGSampler:
         )
 
 
+# --------------------------- Sobol (Owen-scrambled) -------------------------
+#
+# Low-discrepancy counterpart to PCGSampler with the same stateless
+# interface. Design (Burley, "Practical Hash-based Owen Scrambling", JCGT
+# 2020): every logical dimension (bounce*16+dim, lane) uses the base-2
+# Sobol' pair (dim 0 = bit-reversed van der Corput, dim 1 = the classic
+# direction-number column), padded across logical dimensions by
+# hierarchically shuffling the *sample index* with a nested-uniform
+# (Laine-Karras) scramble keyed by (seed, pixel, dimension), and the
+# *output* Owen-scrambled with an independent key. Index shuffling is a
+# bijection that permutes within nested dyadic blocks, so any power-of-two
+# prefix of samples remains a (0,2)-sequence prefix per pixel, and output
+# scrambling preserves elementary-interval stratification — variance falls
+# ~O(1/N²·polylog) on smooth integrands vs O(1/N) for independent PCG.
+# The reference has no low-discrepancy sampler (rand::thread_rng only);
+# this fulfils the BASELINE.json north-star "Samplers (PCG/Sobol)".
+
+# Direction numbers for Sobol' dimension 1 (Joe-Kuo; x_{k} columns v_k =
+# 2^31 / 2^k * m_k with the primitive polynomial x^2+x+1, s=1): the
+# standard 32 columns.
+_SOBOL_DIM1 = np.zeros(32, np.uint32)
+_v = np.uint32(1 << 31)
+for _k in range(32):
+    _SOBOL_DIM1[_k] = _v
+    _v = _v ^ (_v >> np.uint32(1))
+_SOBOL_DIM1 = tuple(int(x) for x in _SOBOL_DIM1)
+
+
+def _reverse_bits_u32(x):
+    x = x.astype(jnp.uint32)
+    x = ((x << jnp.uint32(16)) | (x >> jnp.uint32(16)))
+    x = (((x & jnp.uint32(0x00FF00FF)) << jnp.uint32(8))
+         | ((x & jnp.uint32(0xFF00FF00)) >> jnp.uint32(8)))
+    x = (((x & jnp.uint32(0x0F0F0F0F)) << jnp.uint32(4))
+         | ((x & jnp.uint32(0xF0F0F0F0)) >> jnp.uint32(4)))
+    x = (((x & jnp.uint32(0x33333333)) << jnp.uint32(2))
+         | ((x & jnp.uint32(0xCCCCCCCC)) >> jnp.uint32(2)))
+    x = (((x & jnp.uint32(0x55555555)) << jnp.uint32(1))
+         | ((x & jnp.uint32(0xAAAAAAAA)) >> jnp.uint32(1)))
+    return x
+
+
+def _laine_karras(x, seed):
+    """Owen scramble of a bit-REVERSED value (Laine-Karras permutation,
+    Burley 2020 §10.2 'nested_uniform_scramble_base2')."""
+    x = x.astype(jnp.uint32)
+    seed = seed.astype(jnp.uint32)
+    x = x + seed
+    x = x ^ (x * jnp.uint32(0x6C50B47C))
+    x = x ^ (x * jnp.uint32(0xB82F1E52))
+    x = x ^ (x * jnp.uint32(0xC7AFE638))
+    x = x ^ (x * jnp.uint32(0x8D22F6E6))
+    return x
+
+
+def nested_uniform_scramble(x, seed):
+    """Owen scramble on the natural bit order (reverse, LK, reverse)."""
+    return _reverse_bits_u32(_laine_karras(_reverse_bits_u32(x), seed))
+
+
+def sobol_u32(index, dim):
+    """Unscrambled base-2 Sobol' sample `index` of dimension `dim` (0/1)
+    as a uint32 in [0, 2^32)."""
+    index = jnp.asarray(index).astype(jnp.uint32)
+    if dim == 0:
+        return _reverse_bits_u32(index)
+    out = jnp.zeros(jnp.shape(index), jnp.uint32)
+    for k in range(32):
+        bit = (index >> jnp.uint32(k)) & jnp.uint32(1)
+        out = out ^ (bit * jnp.uint32(_SOBOL_DIM1[k]))
+    return out
+
+
+class SobolSampler:
+    """Stateless Owen-scrambled Sobol'; drop-in for PCGSampler.
+
+    u2 draws the genuine 2-D Sobol' pair (preserving its joint (0,2)
+    stratification); u1 draws dimension 0. Per-(pixel, dimension) index
+    shuffling pads the two base dimensions to the full path-space
+    dimension set."""
+
+    def __init__(self, seed: int = 0):
+        self.seed = jnp.uint32(seed)
+
+    def _draw(self, pixel, sample, bounce, dim, lane, sobol_dim):
+        dkey = jnp.uint32(bounce) * jnp.uint32(16) + jnp.uint32(dim)
+        shuffle_key = hash_u32(self.seed, pixel, dkey, lane,
+                               jnp.uint32(0x51633E2D))
+        scramble_key = hash_u32(self.seed, pixel, dkey, lane,
+                                jnp.uint32(0x68BC21EB) + jnp.uint32(sobol_dim))
+        idx = nested_uniform_scramble(
+            jnp.asarray(sample).astype(jnp.uint32), shuffle_key)
+        bits = nested_uniform_scramble(sobol_u32(idx, sobol_dim),
+                                       scramble_key)
+        return uniform_from_u32(bits)
+
+    def u1(self, pixel, sample, bounce, dim, lane=0):
+        out = self._draw(pixel, sample, bounce, dim, lane, 0)
+        return jnp.broadcast_to(out, jnp.broadcast_shapes(
+            jnp.shape(pixel), jnp.shape(out)))
+
+    def u2(self, pixel, sample, bounce, dim):
+        # Same shuffled index for both axes: the pair is a true 2-D Sobol'
+        # point, so (u, v) keeps the joint elementary-interval property.
+        return jnp.stack(
+            [
+                self._draw(pixel, sample, bounce, dim, 0, 0),
+                self._draw(pixel, sample, bounce, dim, 0, 1),
+            ],
+            axis=-1,
+        )
+
+
 class ThreefrySampler:
     """jax.random-backed equivalent (threefry), for cross-validation."""
 

@@ -30,6 +30,12 @@ from ..textures import textures as tex
 MAX_LOBES = 5
 
 
+def _fourier_mod():
+    from ..bxdf import fourier
+
+    return fourier
+
+
 @struct.dataclass
 class MaterialTable:
     kind: jnp.ndarray  # [M,L]
@@ -118,7 +124,7 @@ class MaterialBuilder:
 
     def __init__(self):
         self.materials = []  # list[(lobes, emission)]
-        self.fourier_table = None  # at most one per scene
+        self.fourier_tables = []  # one per Fourier material (concat at build)
 
     def _add(self, lobes, emission=(0, 0, 0)) -> int:
         assert len(lobes) <= MAX_LOBES
@@ -175,18 +181,13 @@ class MaterialBuilder:
         ])
 
     def add_fourier(self, table) -> int:
-        """Measured Fourier BSDF (one shared table per scene).
-        [ref: material/src/lib.rs:451-475]"""
-        if self.fourier_table is not None:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "multiple fourier materials share one table per scene; "
-                "reusing the first table"
-            )
-        else:
-            self.fourier_table = table
-        return self._add([_Lobe(lb.FOURIER)])
+        """Measured Fourier BSDF; every material gets its own table
+        (stacked into one multi-table device array at build, see
+        fourier.concat_tables). [ref: material/src/lib.rs:451-475]"""
+        idx = len(self.fourier_tables)
+        self.fourier_tables.append(table)
+        # Table index rides in alpha[0] (unused by the Fourier model).
+        return self._add([_Lobe(lb.FOURIER, alpha=(float(idx), 0.0))])
 
     def add_diffuse_light(self, emit) -> int:
         """No lobes; emission only. [ref: lib.rs:291-296]"""
@@ -294,7 +295,8 @@ class MaterialBuilder:
             eta=jnp.asarray(eta), eta_t=jnp.asarray(eta_t), k=jnp.asarray(kk),
             tex_id=jnp.asarray(tex_id), emission=jnp.asarray(emission),
             packed=jnp.asarray(packed),
-            fourier=self.fourier_table,
+            fourier=(None if not self.fourier_tables else
+                     _fourier_mod().concat_tables(self.fourier_tables)),
             textured_slots=tuple(sorted(textured)),
             layout=layout,
             present_kinds=tuple(sorted(

