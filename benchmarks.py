@@ -56,12 +56,15 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
     if integrator == "path":
         from pbrs_tpu.accel import fused_kernel as fk
         from pbrs_tpu.accel import fused_single_lobe as fsl
+        from pbrs_tpu.accel import fused_wave as fw
 
         integ = None
         if fk.scene_supports_fused(scene):
             integ = fk.FusedDiffuseIntegrator(scene)
         elif fsl.scene_supports_single_lobe(scene):
             integ = fsl.FusedSingleLobeIntegrator(scene)
+        elif fw.scene_supports_wave(scene):
+            integ = fw.FusedWaveIntegrator(scene)
         if integ is not None:
 
             def step(base):

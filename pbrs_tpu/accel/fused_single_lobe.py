@@ -350,10 +350,8 @@ def _sample_lobe(mat, wolx, woly, wolz, su0, su1, eval_pdf, has):
     wiy = ddy * flip
     wiz = ddz * flip
 
-    if has(lb.MICROFACET):
+    def sample_wh(alpha, u, v):
         # isotropic sample_wh [ref: geometry/src/microfacet.rs:125-159]
-        alpha = mat["alpha"]
-        u, v = su0, su1
         phi = 2.0 * jnp.pi * v
         a2 = jnp.maximum(alpha * alpha, 1e-30)
         log_s = jnp.log(jnp.maximum(1.0 - u, 1e-30))
@@ -367,12 +365,43 @@ def _sample_lobe(mat, wolx, woly, wolz, su0, su1, eval_pdf, has):
         whz = cos_t
         # face-forward wh to wo's hemisphere [ref: microfacet.rs:153]
         sgn = jnp.where(whx * wolx + why * woly + whz * wolz < 0.0, -1.0, 1.0)
-        whx, why, whz = whx * sgn, why * sgn, whz * sgn
+        return whx * sgn, why * sgn, whz * sgn
+
+    if has(lb.MICROFACET):
+        whx, why, whz = sample_wh(mat["alpha"], su0, su1)
         doh = wolx * whx + woly * why + wolz * whz
         sel = kind == lb.MICROFACET
         wix = jnp.where(sel, 2.0 * doh * whx - wolx, wix)
         wiy = jnp.where(sel, 2.0 * doh * why - woly, wiy)
         wiz = jnp.where(sel, 2.0 * doh * whz - wolz, wiz)
+
+    fb_diffuse = None
+    if has(lb.FRESNEL_BLEND):
+        # Ashikhmin-Shirley: two-strategy split on su0 (the first of the
+        # remapped pair = the mixture-u in bxdf/lobes.py sample_lobe);
+        # cosine hemisphere below 0.5, half-vector reflect above.
+        # [ref: geometry/src/bxdf.rs:688-705, hemisphere checks corrected]
+        fb_diffuse = su0 < 0.5
+        u_lo = jnp.minimum(su0 * 2.0, 1.0 - 1e-7)
+        u_hi = jnp.mod(su0 * 2.0, 1.0)
+        cx_ = u_lo * 2.0 - 1.0
+        cy_ = su1 * 2.0 - 1.0
+        crr = jnp.maximum(jnp.abs(cx_), jnp.abs(cy_))
+        chyp = jnp.sqrt(jnp.maximum(cx_ * cx_ + cy_ * cy_, 1e-20))
+        degen = (cx_ == 0.0) & (cy_ == 0.0)
+        cdx = jnp.where(degen, 0.0, crr * cx_ / chyp)
+        cdy = jnp.where(degen, 0.0, crr * cy_ / chyp)
+        cdz = jnp.sqrt(jnp.maximum(1.0 - cdx * cdx - cdy * cdy, 0.0))
+        cflip = jnp.where(wolz < 0.0, -1.0, 1.0)
+        fwhx, fwhy, fwhz = sample_wh(mat["alpha"], u_hi, su1)
+        fdoh = wolx * fwhx + woly * fwhy + wolz * fwhz
+        sel = kind == lb.FRESNEL_BLEND
+        wix = jnp.where(sel, jnp.where(
+            fb_diffuse, cdx * cflip, 2.0 * fdoh * fwhx - wolx), wix)
+        wiy = jnp.where(sel, jnp.where(
+            fb_diffuse, cdy * cflip, 2.0 * fdoh * fwhy - woly), wiy)
+        wiz = jnp.where(sel, jnp.where(
+            fb_diffuse, cdz * cflip, 2.0 * fdoh * fwhz - wolz), wiz)
 
     if has(lb.SPEC_MIRROR, lb.SPEC_DIELECTRIC):
         sel = kind == lb.SPEC_MIRROR
@@ -419,9 +448,12 @@ def _sample_lobe(mat, wolx, woly, wolz, su0, su1, eval_pdf, has):
 
     # smooth f/pdf via shared eval
     f_r, f_g, f_b, pdf = eval_pdf(wix, wiy, wiz)
-    if has(lb.MICROFACET):
-        # below-horizon microfacet samples are rejected
+    if has(lb.MICROFACET, lb.FRESNEL_BLEND):
+        # below-horizon microfacet / FB-specular samples are rejected
         reject = (kind == lb.MICROFACET) & (wolz * wiz < 0.0)
+        if has(lb.FRESNEL_BLEND):
+            reject = reject | ((kind == lb.FRESNEL_BLEND) & ~fb_diffuse
+                               & (wolz * wiz < 0.0))
         f_r = jnp.where(reject, 0.0, f_r)
         f_g = jnp.where(reject, 0.0, f_g)
         f_b = jnp.where(reject, 0.0, f_b)

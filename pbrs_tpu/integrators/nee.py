@@ -61,9 +61,14 @@ def uniform_sample_one_light(
 
     zero3 = jnp.zeros_like(hit_pos)
     result = zero3
+    # Env importance sampling (parity-plus: the reference env light is
+    # BSDF-sampled only, directlighting.rs:93-99). When the image env
+    # carries a distribution, the env arm gets a light-sampled leg too and
+    # both legs MIS-combine with the power-2 heuristic.
+    env_is = bool(has_env) and getattr(scene.env, "dist", None) is not None
 
-    # ---------------- light-sampled arm (delta + area) ----------------
-    if n_delta + n_area > 0:
+    # ------------- light-sampled arm (delta + area + env-IS) -------------
+    if n_delta + n_area > 0 or env_is:
         if n_delta > 0:
             d_idx = jnp.clip(chosen, 0, n_delta - 1)
             li_d, wi_d, target_d = lt.sample_delta(
@@ -74,31 +79,52 @@ def uniform_sample_one_light(
             li_a, wi_a, pdf_a, pt_a = lt.sample_area(
                 scene.area_lights, a_idx, hit_pos, u_light
             )
-        if n_delta > 0 and n_area > 0:
-            li_l = jnp.where(arm_delta[..., None], li_d, li_a)
-            wi_l = jnp.where(arm_delta[..., None], wi_d, wi_a)
-            target_l = jnp.where(arm_delta[..., None], target_d, pt_a)
-            pdf_l = jnp.where(arm_delta, 1.0, pdf_a)
-        elif n_delta > 0:
-            li_l, wi_l, target_l = li_d, wi_d, target_d
-            pdf_l = jnp.ones(hit_pos.shape[0], hit_pos.dtype)
-        else:
-            li_l, wi_l, target_l, pdf_l = li_a, wi_a, pt_a, pdf_a
+        li_l = zero3
+        wi_l = jnp.zeros_like(hit_pos).at[..., 2].set(1.0)
+        target_l = hit_pos
+        pdf_l = jnp.ones(hit_pos.shape[0], hit_pos.dtype)
+        if n_delta > 0:
+            li_l = jnp.where(arm_delta[..., None], li_d, li_l)
+            wi_l = jnp.where(arm_delta[..., None], wi_d, wi_l)
+            target_l = jnp.where(arm_delta[..., None], target_d, target_l)
+        if n_area > 0:
+            li_l = jnp.where(arm_area[..., None], li_a, li_l)
+            wi_l = jnp.where(arm_area[..., None], wi_a, wi_l)
+            target_l = jnp.where(arm_area[..., None], pt_a, target_l)
+            pdf_l = jnp.where(arm_area, pdf_a, pdf_l)
+        if env_is:
+            from ..lights import env_sampling as es
+
+            wi_e, li_e, pdf_e = es.sample_env(scene.env.dist, u_light)
+            li_l = jnp.where(arm_env[..., None], li_e, li_l)
+            wi_l = jnp.where(arm_env[..., None], wi_e, wi_l)
+            pdf_l = jnp.where(arm_env, pdf_e, pdf_l)
 
         f_l = bsdf_mod.eval_bsdf(lobes, frame, wo, wi_l) * jnp.abs(
             vm.dot(hit_normal, wi_l)
         )[..., None]
         scatter_pdf = bsdf_mod.pdf_bsdf(lobes, frame, wo, wi_l)
-        shadow = mask_dead(
-            ray_mod.spawn_limited_to(hit_pos, hit_normal, target_l))
-        occluded_l = occlude_fn(shadow)
+        shadow = ray_mod.spawn_limited_to(hit_pos, hit_normal, target_l)
+        if env_is:
+            # Env-arm visibility is an unbounded ray along wi_e.
+            unb = ray_mod.spawn(hit_pos, hit_normal, wi_l)
+            shadow = ray_mod.RayBatch(
+                origin=jnp.where(arm_env[..., None], unb.origin,
+                                 shadow.origin),
+                dir=jnp.where(arm_env[..., None], unb.dir, shadow.dir),
+                t_max=jnp.where(arm_env, unb.t_max, shadow.t_max),
+            )
+        occluded_l = occlude_fn(mask_dead(shadow))
         # MIS weight: 1 for delta lights (mass), power-2 otherwise.
         # [ref: src/directlighting.rs:141-145, 192]
         weight = jnp.where(
             arm_delta, 1.0, _power2_heuristic(pdf_l, scatter_pdf)
         )
+        arm_sampled = arm_delta | arm_area
+        if env_is:
+            arm_sampled = arm_sampled | arm_env
         valid = (
-            (arm_delta | arm_area)
+            arm_sampled
             & ~occluded_l
             & (pdf_l > 0.0)
             & ((li_l[..., 0] > 0.0) | (li_l[..., 1] > 0.0) | (li_l[..., 2] > 0.0))
@@ -163,7 +189,15 @@ def uniform_sample_one_light(
             li_env = lt.eval_env(scene.env, wi_b)
             # ~is_delta_b: same double-count exclusion as the area arm.
             valid_e = arm_env & ~is_delta_b & ~occluded_b & (pdf_b > 0.0)
-            contrib_e = f_b * li_env * vm.weak_recip(pdf_b)[..., None]
+            if env_is:
+                from ..lights import env_sampling as es
+
+                weight_e = _power2_heuristic(
+                    pdf_b, es.pdf_env(scene.env.dist, wi_b))
+            else:
+                weight_e = 1.0
+            contrib_e = f_b * li_env * (
+                weight_e * vm.weak_recip(pdf_b))[..., None]
             result = result + jnp.where(valid_e[..., None], contrib_e, 0.0)
 
     # 1 / light_pdf = n_lights. [ref: src/directlighting.rs:98]

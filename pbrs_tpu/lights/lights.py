@@ -59,6 +59,10 @@ class EnvLight:
     color_b: jnp.ndarray = None  # bottom / horizon
     image: jnp.ndarray = None  # [H,W,3] equirect
     scale: jnp.ndarray = None  # [3]
+    # Importance-sampling distribution (env_sampling.EnvDistribution) for
+    # image environments; None = BSDF-sampled only (reference behavior,
+    # src/directlighting.rs:93-99).
+    dist: object = None
 
 
 def _pack(arrays):
@@ -144,13 +148,20 @@ def make_env_dusk() -> EnvLight:
     )
 
 
-def make_env_image(image_hw3, scale=(1.0, 1.0, 1.0)) -> EnvLight:
+def make_env_image(image_hw3, scale=(1.0, 1.0, 1.0),
+                   importance: bool = True) -> EnvLight:
+    dist = None
+    if importance:
+        from . import env_sampling as es
+
+        dist = es.build_distribution(image_hw3, scale)
     return EnvLight(
         kind=ENV_IMAGE,
         color_a=jnp.zeros(3, jnp.float32),
         color_b=jnp.zeros(3, jnp.float32),
         image=jnp.asarray(image_hw3, jnp.float32),
         scale=jnp.asarray(scale, jnp.float32),
+        dist=dist,
     )
 
 

@@ -97,6 +97,7 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
 
     use_fused = False
     use_fused_sl = False
+    use_fused_wave = False
     # Fused megakernels reproduce the PCG stream in-kernel; other samplers
     # route through the general wavefront.
     if integrator == "path" and use_nee and pixel_filter is None and (
@@ -106,10 +107,13 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
     ):
         from .accel import fused_kernel as fk
         from .accel import fused_single_lobe as fsl
+        from .accel import fused_wave as fw
 
         use_fused = fk.scene_supports_fused(scene)
         if not use_fused:
             use_fused_sl = fsl.scene_supports_single_lobe(scene)
+        if not (use_fused or use_fused_sl):
+            use_fused_wave = fw.scene_supports_wave(scene)
 
     filter_inv = None
     if pixel_filter is not None:
@@ -121,15 +125,19 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
                  "sinc": flt.LANCZOS, "lanczos": flt.LANCZOS}
         filter_inv = flt.make_filter_cdf(kinds[kind], float(radius))
 
-    if integrator == "path" and (use_fused or use_fused_sl):
+    if integrator == "path" and (use_fused or use_fused_sl or use_fused_wave):
         if use_fused:
             from .accel import fused_kernel as fk
 
             fused = fk.FusedDiffuseIntegrator(scene)
-        else:
+        elif use_fused_sl:
             from .accel import fused_single_lobe as fsl
 
             fused = fsl.FusedSingleLobeIntegrator(scene)
+        else:
+            from .accel import fused_wave as fw
+
+            fused = fw.FusedWaveIntegrator(scene, use_pallas=use_pallas)
 
         def kernel(scene_, sampler_, pix, s, **_kw):
             return fused.render_samples(sampler_, pix, s,

@@ -1,0 +1,109 @@
+"""Shade-megakernel (external trace) vs the general wavefront path on
+identical RNG streams — the same exact-equality methodology as the other
+fused kernels, over the material/light/texture set that only this path
+covers (FresnelBlend, Oren-Nayar, delta+smooth mixtures, image textures,
+image environments)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pbrs_tpu.accel import dispatch as trace_dispatch
+from pbrs_tpu.accel import fused_wave as fw
+from pbrs_tpu.core import sampler as smp
+from pbrs_tpu.geometry import camera as cam_mod
+from pbrs_tpu.integrators import wavefront
+from pbrs_tpu.lights import lights as lt
+from pbrs_tpu.scene import presets
+from pbrs_tpu.scene.buffers import SceneBuilder
+
+
+def _zoo_scene():
+    """Everything the wave path adds: substrate (FresnelBlend), sigma>0
+    matte (Oren-Nayar), full uber (delta+smooth mixture), image + checker
+    textures, an image environment, delta lights, and shaped area lights."""
+    b = SceneBuilder()
+    g = b.geometry
+    rng = np.random.default_rng(5)
+    img = rng.random((8, 8, 3)).astype(np.float32)
+    tex_img = b.textures.add_image(img)
+    tex_chk = b.textures.add_checker((0.7, 0.7, 0.2), (0.1, 0.1, 0.4))
+    floor = b.materials.add_lambertian(tex_id=tex_img)
+    g.add_quad((-12, 0, -12), (24, 0, 0), (0, 0, 24), floor)
+    g.add_sphere((-4.5, 1, 0), 1.0,
+                 b.materials.add_substrate((0.5, 0.3, 0.2), (0.3, 0.3, 0.3),
+                                           0.08))
+    g.add_sphere((-1.5, 1, 0), 1.0,
+                 b.materials.add_matte((0.6, 0.5, 0.4), sigma_deg=20.0))
+    g.add_sphere((1.5, 1, 0), 1.0, b.materials.add_uber(
+        (0.3, 0.4, 0.5), (0.4, 0.4, 0.4), roughness=0.1, opacity=0.7))
+    g.add_sphere((4.5, 1, 0), 1.0, b.materials.add_dielectric(1.5))
+    g.add_sphere((0.0, 1, -3), 1.0, b.materials.add_mirror((0.9, 0.9, 0.9)))
+    checker_mat = b.materials.add_lambertian(tex_id=tex_chk)
+    g.add_triangle((-3, 0.01, -5), (0, 0.01, -3), (-1.5, 2.5, -4),
+                   checker_mat)
+
+    light_c = (6.0, 6.0, 6.0)
+    light = b.materials.add_diffuse_light(light_c)
+    g.add_quad((-2, 7, -2), (4, 0, 0), (0, 0, 4), light)
+    b.lights.add_area_quad(light_c, (-2, 7, -2), (4, 0, 0), (0, 0, 4))
+    c2 = (8.0, 7.0, 6.0)
+    m2 = b.materials.add_diffuse_light(c2)
+    g.add_sphere((-4, 5, -5), 0.8, m2)
+    b.lights.add_area_sphere(c2, (-4, 5, -5), 0.8)
+    b.lights.add_point((6, 5, -6), (40, 35, 30))
+    b.lights.add_distant((0.3, -1.0, 0.2), (0.5, 0.5, 0.55))
+    env = rng.random((8, 16, 3)).astype(np.float32)
+    b.lights.env = lt.make_env_image(env, scale=(1.5, 1.5, 1.5))
+
+    cam = cam_mod.make_camera((24, 24), 45.0)
+    b.camera = cam_mod.looking_at(cam, (0, 4, -14), (0, 1.5, 0), (0, 1, 0))
+    return b.build()
+
+
+def test_eligibility():
+    assert fw.scene_supports_wave(_zoo_scene())
+    assert fw.scene_supports_wave(presets.cornell_box())
+    assert fw.scene_supports_wave(presets.mesh_ball(levels=2))
+    assert fw.scene_supports_wave(presets.two_perlin_spheres())
+
+
+def _compare(scene, pix_n=24, depth=5, samples=(0, 3), atol=3e-5):
+    sampler = smp.PCGSampler(0)
+    pix = jnp.arange(pix_n * pix_n)
+    isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene,
+                                                      use_pallas=False)
+    integ = fw.FusedWaveIntegrator(scene, interpret=True, use_pallas=False)
+    for s in samples:
+        rad_f = np.asarray(
+            integ.render_samples(sampler, pix, s, max_depth=depth, msaa=2)
+        )
+        rad_j = np.asarray(wavefront.render_samples(
+            scene, sampler, pix, s, max_depth=depth, msaa=2,
+            intersect_fn=isect_fn, occlude_fn=occl_fn,
+        ))
+        np.testing.assert_allclose(rad_f, rad_j, atol=atol, rtol=2e-4)
+
+
+def test_cornell_matches_general_path():
+    _compare(presets.cornell_box(), pix_n=20, depth=4, samples=(0,))
+
+
+@pytest.mark.slow
+def test_zoo_matches_general_path():
+    _compare(_zoo_scene(), depth=4)
+
+
+def test_ray_counts_match_general_path():
+    scene = presets.cornell_box()
+    sampler = smp.PCGSampler(0)
+    pix = jnp.arange(16 * 16)
+    isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene,
+                                                      use_pallas=False)
+    integ = fw.FusedWaveIntegrator(scene, interpret=True, use_pallas=False)
+    _, cnt_f = integ.render_samples(sampler, pix, 0, max_depth=3, msaa=2,
+                                    return_ray_count=True)
+    _, cnt_j = wavefront.render_samples(
+        scene, sampler, pix, 0, max_depth=3, msaa=2,
+        intersect_fn=isect_fn, occlude_fn=occl_fn, return_ray_count=True)
+    assert float(cnt_f) == float(cnt_j)
