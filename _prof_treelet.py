@@ -66,7 +66,7 @@ dt_a = bench("coherent any-hit", rays, any_hit=True)
 from pbrs_tpu.accel.treelet import _trace_blocks, N_FIELDS
 
 comps, n = tracer._components(rays)
-t_dbg, _ = _trace_blocks(tracer.boxes, tracer.table, tuple(comps),
+t_dbg, _ = _trace_blocks(tracer.boxes, tracer.cboxes, tracer.table, tuple(comps),
                          kind=tracer.kind, n_chunks=tracer.n_chunks,
                          t_count=tracer.t_count, nf=N_FIELDS[tracer.kind],
                          treelet=tracer.treelet, any_hit=False,
@@ -78,7 +78,7 @@ print("coherent rounds/row: mean %.1f max %.0f; chunks: mean %.1f" % (
     rounds.mean(), rounds.max(), chunks.mean()))
 
 comps, n = tracer._components(rays_inc)
-t_dbg, _ = _trace_blocks(tracer.boxes, tracer.table, tuple(comps),
+t_dbg, _ = _trace_blocks(tracer.boxes, tracer.cboxes, tracer.table, tuple(comps),
                          kind=tracer.kind, n_chunks=tracer.n_chunks,
                          t_count=tracer.t_count, nf=N_FIELDS[tracer.kind],
                          treelet=tracer.treelet, any_hit=False,

@@ -42,15 +42,21 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
     isect_fn, occl_fn = td.make_trace_fns(scene)
     sampler = smp.PCGSampler(0)
     n = size[0] * size[1]
-    pix = jnp.arange(n, dtype=jnp.int32)
     msaa = max(1, int(round(spp ** 0.5)))
 
-    # Pack samples into the launch until ~1M lanes are in flight.
-    samples_per_launch = max(1, min(msaa * msaa, (1 << 20) // n))
-    lanes = jnp.tile(pix, samples_per_launch)
+    # ~1M lanes in flight per launch: small frames pack several samples,
+    # frames beyond 1M pixels split into chunks (keeps HLO temps bounded).
+    chunk_n = min(n, 1 << 20)
+    n_chunks = -(-n // chunk_n)
+    pad_n = n_chunks * chunk_n
+    pix_all = jnp.arange(pad_n, dtype=jnp.int32) % n
+    pix_chunks = [pix_all[c * chunk_n:(c + 1) * chunk_n]
+                  for c in range(n_chunks)]
+    samples_per_launch = max(1, min(msaa * msaa, (1 << 20) // chunk_n))
+    lanes_chunks = [jnp.tile(p, samples_per_launch) for p in pix_chunks]
     def sample_ids(base):
         return jnp.repeat(
-            base + jnp.arange(samples_per_launch), n
+            base + jnp.arange(samples_per_launch), chunk_n
         ).astype(jnp.int32)
 
     if integrator == "path":
@@ -67,21 +73,30 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
             integ = fw.FusedWaveIntegrator(scene)
         if integ is not None:
 
-            def step(base):
+            def step1(lanes, base):
                 rad, cnt = integ.render_samples(
                     sampler, lanes, sample_ids(base), max_depth=depth,
                     msaa=msaa, return_ray_count=True,
                 )
                 return jnp.sum(rad), cnt
         else:
-            def step(base):
+            def step1(lanes, base):
                 rad, cnt = wavefront.render_samples(
                     scene, sampler, lanes, sample_ids(base), max_depth=depth,
                     msaa=msaa, intersect_fn=isect_fn, occlude_fn=occl_fn,
                     return_ray_count=True,
                 )
                 return jnp.sum(rad), cnt
-        fn = jax.jit(step)
+        fn1 = jax.jit(step1)
+
+        def fn(base):
+            a = 0.0
+            c = 0.0
+            for lanes in lanes_chunks:
+                ai, ci = fn1(lanes, base)
+                a = a + ai
+                c = c + ci
+            return a, c
         acc0, cnt = fn(0)
         acc0.block_until_ready()
         iters = max(1, min(4, (msaa * msaa) // samples_per_launch))
@@ -113,7 +128,7 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
             "samples_per_launch": samples_per_launch,
         }
     if True:
-        def step(base):
+        def step(lanes, base):
             sid = sample_ids(base)
             rad = direct_mod.direct_radiance(
                 scene, wavefront.camera_rays(scene, sampler, lanes, sid, msaa),
@@ -121,13 +136,16 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
                 intersect_fn=isect_fn, occlude_fn=occl_fn,
             )
             return jnp.sum(rad)
-        fn = jax.jit(step)
-        fn(0).block_until_ready()
+        fn1 = jax.jit(step)
+
+        def fn(base):
+            return sum(float(fn1(lanes, base)) for lanes in lanes_chunks)
+        fn(0)
         iters = max(1, min(4, (msaa * msaa) // samples_per_launch))
         t0 = time.time()
         acc = 0.0
         for s in range(1, 1 + iters):
-            acc += float(fn(s * samples_per_launch))
+            acc += fn(s * samples_per_launch)
         dt = time.time() - t0
         iters_samples = iters * samples_per_launch
         full_time = dt / iters_samples * (msaa * msaa)

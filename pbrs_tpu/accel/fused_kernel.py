@@ -113,6 +113,25 @@ def _u1(seed, pixel, sample, bounce, dim, lane=0):
                               jnp.uint32(lane)))
 
 
+def _concentric_disk(x, y):
+    """Uniform unit-disk map on [-1,1]² planes (Shirley-Chiu), matching
+    bxdf/lobes.concentric_sample_disk — the reference's polar form
+    (bxdf.rs:187-200) is azimuthally biased ±33%, COMPAT.md."""
+    big = jnp.abs(x) > jnp.abs(y)
+    r = jnp.where(big, x, y)
+    xs = jnp.where(x == 0.0, 1.0, x)
+    ys = jnp.where(y == 0.0, 1.0, y)
+    theta = jnp.where(
+        big,
+        jnp.float32(np.pi / 4.0) * (y / xs),
+        jnp.float32(np.pi / 2.0) - jnp.float32(np.pi / 4.0) * (x / ys),
+    )
+    px = r * jnp.cos(theta)
+    py = r * jnp.sin(theta)
+    deg = (x == 0.0) & (y == 0.0)
+    return jnp.where(deg, 0.0, px), jnp.where(deg, 0.0, py)
+
+
 def _trace_tables(cols, counts, rox, roy, roz, rdx, rdy, rdz, t_max,
                   want_closest=True):
     """Closest-hit (t, prim) or any-hit over the SMEM prim columns — shared
@@ -505,8 +524,11 @@ def _bounce_kernel(
             # pdf = d² / (|cosθl| · A)
             pdf_l = d2 / jnp.maximum(jnp.abs(cos_l) * area, 1e-20)
             cos_s = nx * wix + ny * wiy + nz * wiz
-            # f·|cos| for lambert
-            fl = jnp.abs(cos_s) * INV_PI
+            # f·|cos| for lambert; reflection-only, so zero across the
+            # horizon (the frame normal faces wo, making cos_s the
+            # same-hemisphere test; matches bxdf/lobes.py eval_lobe —
+            # the reference leaks here, src/bsdf.rs:43-51, COMPAT.md)
+            fl = jnp.maximum(cos_s, 0.0) * INV_PI
             # scatter pdf for MIS weight: cosine-hemisphere
             pdf_scatter = jnp.maximum(cos_s, 0.0) * INV_PI
             # shadow ray: spawn eps along normal toward the light; t in [0,1)
@@ -520,9 +542,6 @@ def _bounce_kernel(
             w_l = pdf_l * pdf_l / jnp.maximum(
                 pdf_l * pdf_l + pdf_scatter * pdf_scatter, 1e-30
             )
-            # Matches the general path (and reference bxdf.rs:540-542): lambert
-            # eval has no hemisphere mask; the MIS weight's scatter pdf is the
-            # hemisphere-clamped cosine density.
             valid_l = arm_area & facing & ~occ1 & (pdf_l > 0.0)
             contrib = jnp.where(valid_l, fl * w_l / pdf_l, 0.0)
             rad_out_r += jnp.where(alive, beta[0] * alb_r * contrib * ler
@@ -537,10 +556,7 @@ def _bounce_kernel(
             # consumes (v, remapped u) [ref: src/bsdf.rs:79].
             ux_ = u_s1 * 2.0 - 1.0
             uy_ = u_s0 * 2.0 - 1.0
-            rr = jnp.maximum(jnp.abs(ux_), jnp.abs(uy_))
-            hyp = jnp.sqrt(jnp.maximum(ux_ * ux_ + uy_ * uy_, 1e-20))
-            ddx = jnp.where((ux_ == 0.0) & (uy_ == 0.0), 0.0, rr * ux_ / hyp)
-            ddy = jnp.where((ux_ == 0.0) & (uy_ == 0.0), 0.0, rr * uy_ / hyp)
+            ddx, ddy = _concentric_disk(ux_, uy_)
             ddz = jnp.sqrt(jnp.maximum(1.0 - ddx * ddx - ddy * ddy, 0.0))
             w2x = ddx * fx_ + ddy * bx + ddz * nx
             w2y = ddx * fy_ + ddy * by + ddz * ny
@@ -628,10 +644,7 @@ def _bounce_kernel(
         u_b1 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 1)
         ux_ = u_b1 * 2.0 - 1.0
         uy_ = u_b0 * 2.0 - 1.0
-        rr = jnp.maximum(jnp.abs(ux_), jnp.abs(uy_))
-        hyp = jnp.sqrt(jnp.maximum(ux_ * ux_ + uy_ * uy_, 1e-20))
-        ddx = jnp.where((ux_ == 0.0) & (uy_ == 0.0), 0.0, rr * ux_ / hyp)
-        ddy = jnp.where((ux_ == 0.0) & (uy_ == 0.0), 0.0, rr * uy_ / hyp)
+        ddx, ddy = _concentric_disk(ux_, uy_)
         ddz = jnp.sqrt(jnp.maximum(1.0 - ddx * ddx - ddy * ddy, 0.0))
         wnx = ddx * fx_ + ddy * bx + ddz * nx
         wny = ddx * fy_ + ddy * by + ddz * ny

@@ -38,7 +38,7 @@ from ..lights import sample_shape as ss
 from . import trace_pallas
 from .fused_kernel import (
     LANES, BLOCK_ROWS, T_MIN, BIG, SPAWN_EPS, INV_PI,
-    _u1, _trace_tables, _occluded,
+    _u1, _trace_tables, _occluded, _concentric_disk,
 )
 
 # Bank-size crossover: below this many rows the masked SMEM sweep beats
@@ -337,13 +337,11 @@ def _sample_lobe(mat, wolx, woly, wolz, su0, su1, eval_pdf, has):
     pdf-or-pmf, is_delta. [ref: geometry/src/bxdf.rs:395-498]"""
     kind = mat["kind"]
 
-    # Family A: cosine hemisphere (concentric disk, reference polar form).
+    # Family A: cosine hemisphere (true concentric disk; the reference's
+    # polar form is azimuthally biased, COMPAT.md).
     ux_ = su0 * 2.0 - 1.0
     uy_ = su1 * 2.0 - 1.0
-    rr = jnp.maximum(jnp.abs(ux_), jnp.abs(uy_))
-    hyp = jnp.sqrt(jnp.maximum(ux_ * ux_ + uy_ * uy_, 1e-20))
-    ddx = jnp.where((ux_ == 0.0) & (uy_ == 0.0), 0.0, rr * ux_ / hyp)
-    ddy = jnp.where((ux_ == 0.0) & (uy_ == 0.0), 0.0, rr * uy_ / hyp)
+    ddx, ddy = _concentric_disk(ux_, uy_)
     ddz = jnp.sqrt(jnp.maximum(1.0 - ddx * ddx - ddy * ddy, 0.0))
     flip = jnp.where(wolz < 0.0, -1.0, 1.0)
     wix = ddx * flip
@@ -386,11 +384,7 @@ def _sample_lobe(mat, wolx, woly, wolz, su0, su1, eval_pdf, has):
         u_hi = jnp.mod(su0 * 2.0, 1.0)
         cx_ = u_lo * 2.0 - 1.0
         cy_ = su1 * 2.0 - 1.0
-        crr = jnp.maximum(jnp.abs(cx_), jnp.abs(cy_))
-        chyp = jnp.sqrt(jnp.maximum(cx_ * cx_ + cy_ * cy_, 1e-20))
-        degen = (cx_ == 0.0) & (cy_ == 0.0)
-        cdx = jnp.where(degen, 0.0, crr * cx_ / chyp)
-        cdy = jnp.where(degen, 0.0, crr * cy_ / chyp)
+        cdx, cdy = _concentric_disk(cx_, cy_)
         cdz = jnp.sqrt(jnp.maximum(1.0 - cdx * cdx - cdy * cdy, 0.0))
         cflip = jnp.where(wolz < 0.0, -1.0, 1.0)
         fwhx, fwhy, fwhz = sample_wh(mat["alpha"], u_hi, su1)
@@ -880,11 +874,13 @@ def _bounce2_kernel(
                 pdf = jnp.zeros_like(rox)
                 same = wolz * wilz >= 0.0
                 if has(lb.LAMBERT):
-                    sel = kind == lb.LAMBERT
+                    # reflection-only: zero across the horizon (COMPAT —
+                    # the reference leaks here, src/bsdf.rs:43-51)
+                    sel = (kind == lb.LAMBERT) & same
                     f_r = jnp.where(sel, alb_r * INV_PI, f_r)
                     f_g = jnp.where(sel, alb_g * INV_PI, f_g)
                     f_b = jnp.where(sel, alb_b * INV_PI, f_b)
-                    pdf = jnp.where(sel & same, jnp.abs(wilz) * INV_PI, pdf)
+                    pdf = jnp.where(sel, jnp.abs(wilz) * INV_PI, pdf)
                 if has(lb.MICROFACET):
                     mx = wolx + wilx
                     my = woly + wily
@@ -907,7 +903,7 @@ def _bounce2_kernel(
                         lob["kr"], lob["kg"], lob["kb"],
                     )
                     inv_den = _weak_recip(4.0 * jnp.abs(wolz) * jnp.abs(wilz))
-                    scale = jnp.where(okm, dval * g * inv_den, 0.0)
+                    scale = jnp.where(okm & same, dval * g * inv_den, 0.0)
                     sel = kind == lb.MICROFACET
                     f_r = jnp.where(sel, alb_r * scale * frr, f_r)
                     f_g = jnp.where(sel, alb_g * scale * frg, f_g)
@@ -1134,11 +1130,7 @@ def _bounce2_kernel(
                     sel = lkind == ss.DISK
                     dxx = u_l0 * 2.0 - 1.0
                     dyy = u_l1 * 2.0 - 1.0
-                    rr_ = jnp.maximum(jnp.abs(dxx), jnp.abs(dyy))
-                    hyp = jnp.maximum(jnp.sqrt(dxx * dxx + dyy * dyy), 1e-20)
-                    degen = (dxx == 0.0) & (dyy == 0.0)
-                    cdx = jnp.where(degen, 0.0, rr_ * dxx / hyp)
-                    cdy = jnp.where(degen, 0.0, rr_ * dyy / hyp)
+                    cdx, cdy = _concentric_disk(dxx, dyy)
                     ptx = jnp.where(sel, l0x + cdx * l2x + cdy * c12x, ptx)
                     pty = jnp.where(sel, l0y + cdx * l2y + cdy * c12y, pty)
                     ptz = jnp.where(sel, l0z + cdx * l2z + cdy * c12z, ptz)

@@ -52,7 +52,7 @@ from ..core import sampler as smp
 from ..geometry import ray as ray_mod
 from ..lights import lights as lt
 from ..lights import sample_shape as ss
-from .fused_kernel import LANES, BLOCK_ROWS, T_MIN, SPAWN_EPS, INV_PI, _u1
+from .fused_kernel import (LANES, BLOCK_ROWS, T_MIN, SPAWN_EPS, INV_PI, _u1, _concentric_disk)
 from .fused_single_lobe import (
     _weak_recip, _fr_dielectric, _fresnel_rgb, _d_ndf, _lambda_iso,
     _sample_lobe,
@@ -146,7 +146,7 @@ def _masked_gather_w(idx_plane, scalar_fn, n_rows, n_keep):
 def _shade_kernel(
     *refs,
     n_mats, n_area, n_delta, present_kinds, light_shapes, n_slots,
-    textured_slots, has_env, env_is, bounce_is_first, rr_active,
+    textured_slots, has_env, env_is,
 ):
     (mats_ref, lights_ref, delta_ref, ints_ref, scal_ref) = refs[:5]
     (mhi_ref, mmid_ref, mlo_ref) = refs[5:8]
@@ -196,6 +196,10 @@ def _shade_kernel(
         smp_id = sample[...].astype(jnp.uint32)
         seed = ints_ref[0].astype(jnp.uint32)
         bounce = ints_ref[1].astype(jnp.uint32)
+        # Dynamic per-bounce flags (the bounce loop is a lax.fori_loop so
+        # one kernel compiles for every depth; the flags cost one select).
+        is_first = ints_ref[2] > 0
+        rr_on = ints_ref[3] > 0
         zeros = jnp.zeros_like(rdx)
         inf = jnp.full(rdx.shape, jnp.inf, jnp.float32)
 
@@ -302,11 +306,13 @@ def _shade_kernel(
                 same = wolz * wilz >= 0.0
                 cos_pdf = jnp.abs(wilz) * INV_PI
                 if has(lb.LAMBERT):
-                    sel = kind == lb.LAMBERT
+                    # reflection-only: zero across the horizon (COMPAT —
+                    # the reference leaks here, src/bsdf.rs:43-51)
+                    sel = (kind == lb.LAMBERT) & same
                     f_r = jnp.where(sel, alb_r * INV_PI, f_r)
                     f_g = jnp.where(sel, alb_g * INV_PI, f_g)
                     f_b = jnp.where(sel, alb_b * INV_PI, f_b)
-                    pdf = jnp.where(sel & same, cos_pdf, pdf)
+                    pdf = jnp.where(sel, cos_pdf, pdf)
                 if has(lb.OREN_NAYAR):
                     # [ref: geometry/src/bxdf.rs:543-558; bxdf/lobes.py
                     # _oren_nayar_factor] alpha=(A,B)
@@ -327,11 +333,11 @@ def _shade_kernel(
                         steeper, sin_i / jnp.maximum(aci, 1e-20),
                         sin_o / jnp.maximum(aco, 1e-20))
                     factor = a_on + b_on * d_cos * sin_a * tan_b
-                    sel = kind == lb.OREN_NAYAR
+                    sel = (kind == lb.OREN_NAYAR) & same
                     f_r = jnp.where(sel, alb_r * INV_PI * factor, f_r)
                     f_g = jnp.where(sel, alb_g * INV_PI * factor, f_g)
                     f_b = jnp.where(sel, alb_b * INV_PI * factor, f_b)
-                    pdf = jnp.where(sel & same, cos_pdf, pdf)
+                    pdf = jnp.where(sel, cos_pdf, pdf)
                 if has(lb.MICROFACET, lb.FRESNEL_BLEND):
                     mx = wolx + wilx
                     my = woly + wily
@@ -359,7 +365,7 @@ def _shade_kernel(
                     )
                     inv_den = _weak_recip(
                         4.0 * jnp.abs(wolz) * jnp.abs(wilz))
-                    scale = jnp.where(okm, dval * g * inv_den, 0.0)
+                    scale = jnp.where(okm & same, dval * g * inv_den, 0.0)
                     sel = kind == lb.MICROFACET
                     f_r = jnp.where(sel, alb_r * scale * frr, f_r)
                     f_g = jnp.where(sel, alb_g * scale * frg, f_g)
@@ -386,9 +392,9 @@ def _shade_kernel(
                     fb_b = dterm * alb_b * (1.0 - sb) + dfac * (
                         sb + sch * (1.0 - sb))
                     sel = kind == lb.FRESNEL_BLEND
-                    f_r = jnp.where(sel & okm, fb_r, f_r)
-                    f_g = jnp.where(sel & okm, fb_g, f_g)
-                    f_b = jnp.where(sel & okm, fb_b, f_b)
+                    f_r = jnp.where(sel & okm & same, fb_r, f_r)
+                    f_g = jnp.where(sel & okm & same, fb_g, f_g)
+                    f_b = jnp.where(sel & okm & same, fb_b, f_b)
                     p_fb = jnp.where(same & okm,
                                      0.5 * (cos_pdf + p_mf), 0.0)
                     pdf = jnp.where(sel, p_fb, pdf)
@@ -460,7 +466,7 @@ def _shade_kernel(
         rad_out_r = jnp.zeros_like(rdx)
         rad_out_g = jnp.zeros_like(rdx)
         rad_out_b = jnp.zeros_like(rdx)
-        count_emit = alive if bounce_is_first else (alive & prev_spec)
+        count_emit = alive & (is_first | prev_spec)
         seen_r = jnp.where(hit, emi_r, envr[...])
         seen_g = jnp.where(hit, emi_g, envg[...])
         seen_b = jnp.where(hit, emi_b, envb[...])
@@ -618,12 +624,7 @@ def _shade_kernel(
                     sel = lkind == ss.DISK
                     dxx = u_l0 * 2.0 - 1.0
                     dyy = u_l1 * 2.0 - 1.0
-                    rr_ = jnp.maximum(jnp.abs(dxx), jnp.abs(dyy))
-                    hyp = jnp.maximum(
-                        jnp.sqrt(dxx * dxx + dyy * dyy), 1e-20)
-                    degen = (dxx == 0.0) & (dyy == 0.0)
-                    cdx = jnp.where(degen, 0.0, rr_ * dxx / hyp)
-                    cdy = jnp.where(degen, 0.0, rr_ * dyy / hyp)
+                    cdx, cdy = _concentric_disk(dxx, dyy)
                     ptx = jnp.where(sel, l0x + cdx * l2x + cdy * c12x, ptx)
                     pty = jnp.where(sel, l0y + cdx * l2y + cdy * c12y, pty)
                     ptz = jnp.where(sel, l0z + cdx * l2z + cdy * c12z, ptz)
@@ -967,16 +968,16 @@ def _shade_kernel(
         nbg = jnp.where(alive, beta[1] * bf_g * mult, beta[1])
         nbb = jnp.where(alive, beta[2] * bf_b * mult, beta[2])
 
-        if rr_active:
-            lum = 0.21267127 * nbr + 0.71515972 * nbg + 0.07216883 * nbb
-            q = jnp.maximum(0.05, 1.0 - lum)
-            u_rr = _u1(seed, pix, smp_id, bounce, smp.DIM_RUSSIAN_ROULETTE)
-            killed = u_rr < q
-            alive = alive & ~killed
-            scale = jnp.where(alive, 1.0 / jnp.maximum(1.0 - q, 1e-6), 1.0)
-            nbr = nbr * scale
-            nbg = nbg * scale
-            nbb = nbb * scale
+        lum = 0.21267127 * nbr + 0.71515972 * nbg + 0.07216883 * nbb
+        q = jnp.maximum(0.05, 1.0 - lum)
+        u_rr = _u1(seed, pix, smp_id, bounce, smp.DIM_RUSSIAN_ROULETTE)
+        killed = rr_on & (u_rr < q)
+        alive = alive & ~killed
+        scale = jnp.where(rr_on & alive,
+                          1.0 / jnp.maximum(1.0 - q, 1e-6), 1.0)
+        nbr = nbr * scale
+        nbg = nbg * scale
+        nbb = nbb * scale
 
         rad_r[...] = rad_out_r
         rad_g[...] = rad_out_g
@@ -997,12 +998,11 @@ def _shade_kernel(
     jax.jit,
     static_argnames=("n_mats", "n_area", "n_delta", "present_kinds",
                      "light_shapes", "n_slots", "textured_slots", "has_env",
-                     "env_is", "bounce_is_first", "rr_active", "interpret"),
+                     "env_is", "interpret"),
 )
 def _shade_call(mats, mats_splits, lights, delta, ints, scal, in_planes,
                 n_mats, n_area, n_delta, present_kinds, light_shapes,
-                n_slots, textured_slots, has_env, env_is, bounce_is_first,
-                rr_active, interpret):
+                n_slots, textured_slots, has_env, env_is, interpret):
     rows = in_planes[0].shape[0]
     grid = (rows // BLOCK_ROWS,)
     blk = lambda: pl.BlockSpec(
@@ -1013,7 +1013,7 @@ def _shade_call(mats, mats_splits, lights, delta, ints, scal, in_planes,
         _shade_kernel, n_mats=n_mats, n_area=n_area, n_delta=n_delta,
         present_kinds=present_kinds, light_shapes=light_shapes,
         n_slots=n_slots, textured_slots=textured_slots, has_env=has_env,
-        env_is=env_is, bounce_is_first=bounce_is_first, rr_active=rr_active,
+        env_is=env_is,
     )
     shp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     ishp = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -1160,13 +1160,25 @@ class FusedWaveIntegrator:
         ray_count = jnp.zeros((), jnp.float32)
         alive_v = jnp.ones(n, bool)
 
-        seed_ints = jnp.stack([
-            jnp.asarray(sampler.seed).astype(jnp.int32),
-            jnp.zeros((), jnp.int32),
-        ])
         scal = jnp.asarray([self.world_radius], jnp.float32)
 
-        for bounce in range(max_depth):
+        # The bounce loop is a fori_loop (not Python-unrolled): one kernel
+        # compile covers every depth, and XLA reuses the ~60 per-bounce
+        # plane buffers across iterations instead of keeping max_depth
+        # copies of the HLO temps live (a 1920x1080 frame OOM'd HBM with
+        # the unrolled form).
+        def bounce_body(bounce, state):
+            (ray_o, ray_d, ray_t, radiance, beta0, beta1, beta2,
+             alive_pl, spec_pl, ray_count) = state
+            rays = ray_mod.RayBatch(origin=ray_o, dir=ray_d, t_max=ray_t)
+            beta = (beta0, beta1, beta2)
+            alive_v = unprep(alive_pl) > 0
+            seed_ints = jnp.stack([
+                jnp.asarray(sampler.seed).astype(jnp.int32),
+                bounce.astype(jnp.int32),
+                (bounce == 0).astype(jnp.int32),
+                (bounce > rr_start).astype(jnp.int32),
+            ])
             ray_count = ray_count + jnp.sum(alive_v.astype(jnp.float32))
             hit = self.intersect_fn(rays)
             env_here = lt.eval_env(scene.env, rays.dir)
@@ -1215,14 +1227,12 @@ class FusedWaveIntegrator:
             )
             out = _shade_call(
                 self.mats, self.mats_splits, self.lights, self.delta,
-                seed_ints.at[1].set(bounce), scal, in_planes,
+                seed_ints, scal, in_planes,
                 n_mats=self.n_mats, n_area=self.n_area,
                 n_delta=self.n_delta, present_kinds=self.present_kinds,
                 light_shapes=self.light_shapes, n_slots=self.n_slots,
                 textured_slots=self.textured_slots, has_env=self.has_env,
                 env_is=self.env_is,
-                bounce_is_first=(bounce == 0),
-                rr_active=(bounce > rr_start),
                 interpret=self.interpret,
             )
             (rr_, rg_, rb_,
@@ -1272,13 +1282,15 @@ class FusedWaveIntegrator:
             # next rays
             nd = jnp.stack([unprep(ndx), unprep(ndy), unprep(ndz)], axis=-1)
             no = pos + unprep(nside)[:, None] * nrm * SPAWN_EPS
-            alive_v = unprep(alive_o) > 0
-            rays = ray_mod.RayBatch(
-                origin=no, dir=nd,
-                t_max=jnp.where(alive_v, jnp.inf, 0.0))
-            alive_pl = alive_o
-            spec_pl = spec_o
-            beta = (br_, bg_, bb_)
+            alive_next = unprep(alive_o) > 0
+            return (no, nd, jnp.where(alive_next, jnp.inf, 0.0),
+                    radiance, br_, bg_, bb_, alive_o, spec_o, ray_count)
+
+        state = (rays.origin, rays.dir, rays.t_max, radiance,
+                 beta[0], beta[1], beta[2], alive_pl, spec_pl, ray_count)
+        state = jax.lax.fori_loop(0, max_depth, bounce_body, state)
+        radiance = state[3]
+        ray_count = state[9]
 
         if return_ray_count:
             return radiance, ray_count

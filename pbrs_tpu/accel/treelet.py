@@ -160,6 +160,18 @@ def build_treelets(kind, fields, bbox_lo, bbox_hi, treelet=TREELET,
         slot_prim[col * treelet:col * treelet + c] = order[f:f + c]
         boxes[col, 0:3] = lo_
         boxes[col, 3:6] = hi_
+    # Chunk-level bounds (union of the chunk's treelet boxes; DFS order
+    # keeps chunks spatially tight): the outer walk's skip bounds come
+    # from ONE slab test per chunk instead of per-treelet phase-1 keys.
+    cboxes = np.zeros((max(n_chunks, 1), 8), np.float32)
+    cboxes[:, 0:3] = BIG
+    cboxes[:, 3:6] = -BIG
+    for k in range(n_chunks):
+        seg = boxes[k * CHUNK:(k + 1) * CHUNK]
+        real = seg[:, 0] < BIG
+        if real.any():
+            cboxes[k, 0:3] = seg[real, 0:3].min(0)
+            cboxes[k, 3:6] = seg[real, 3:6].max(0)
     hi, mid, lo = _split3(tbl)
     # The three bf16 splits are stacked into ONE table [3*F*treelet, CHUNK]
     # so each round issues a single matmul + DMA (three separate matmuls
@@ -178,6 +190,7 @@ def build_treelets(kind, fields, bbox_lo, bbox_hi, treelet=TREELET,
     world_hi = np.max([l[3] for l in leaves], axis=0)
     return (
         jnp.asarray(boxes),
+        jnp.asarray(cboxes),
         chunked(stacked),
         n_chunks, t_count, jnp.asarray(slot_prim),
         (world_lo, world_hi),
@@ -291,7 +304,7 @@ LOCAL_BITS = 7  # log2(CHUNK): low key bits carry the in-chunk treelet id
 LOCAL_MASK = np.int32((1 << LOCAL_BITS) - 1)
 
 
-def _treelet_kernel(boxes_ref, tab_ref,
+def _treelet_kernel(boxes_ref, cboxes_ref, tab_ref,
                     ox, oy, oz, dx, dy, dz, tmax,
                     t_out, idx_out, tc, sems, *,
                     kind, n_chunks, t_count, treelet, any_hit,
@@ -301,7 +314,7 @@ def _treelet_kernel(boxes_ref, tab_ref,
     # of `rays` rays (TPU block shapes must be sublane-divisible).
     row_fn = _treelet_row_resident if resident else _treelet_row
     for r in range(subrows):
-        row_fn(boxes_ref, tab_ref,
+        row_fn(boxes_ref, cboxes_ref, tab_ref,
                ox, oy, oz, dx, dy, dz, tmax, t_out, idx_out,
                tc, sems,
                r, kind=kind, n_chunks=n_chunks, t_count=t_count,
@@ -309,7 +322,7 @@ def _treelet_kernel(boxes_ref, tab_ref,
                debug_rounds=debug_rounds)
 
 
-def _treelet_row_resident(boxes_ref, tab_ref,
+def _treelet_row_resident(boxes_ref, cboxes_ref, tab_ref,
                           ox, oy, oz, dx, dy, dz, tmax,
                           t_out, idx_out, tc, sems,
                           r, *, kind, n_chunks, t_count, treelet, any_hit,
@@ -451,18 +464,20 @@ def _treelet_row_resident(boxes_ref, tab_ref,
         idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
 
 
-def _treelet_row(boxes_ref, tab_ref,
+def _treelet_row(boxes_ref, cboxes_ref, tab_ref,
                  ox, oy, oz, dx, dy, dz, tmax,
                  t_out, idx_out, tc, sems,
                  r, *, kind, n_chunks, t_count, treelet, any_hit,
                  rays=RAYS, debug_rounds=False):
     """Trace `rays` rays (row r of the block) against all chunks.
 
-    Phase 1 computes, per chunk, each lane's min traversal key (a float
-    t_enter lower bound with the in-chunk treelet id in the low 7 bits).
-    The outer loop walks chunks in DFS (spatial) order, skipping any chunk
-    whose best key cannot beat the lane's current hit; a visited chunk's
-    three table splits are DMA'd from HBM into VMEM scratch, then the inner
+    Phase 1 slab-tests the CHUNK bounds only ([n_chunks, rays] — a
+    conservative per-lane lower bound of every treelet key in the chunk;
+    round-2 computed per-treelet keys for all chunks up front, an O(T x R)
+    pass that dominated large scenes). The outer loop walks chunks in DFS
+    (spatial) order, skipping any chunk whose box cannot beat the lane's
+    current hit; a visited chunk's table splits are DMA'd from HBM into
+    VMEM scratch and its per-treelet keys computed lazily, then the inner
     loop lets every lane pull its treelets strictly in t-lower-bound order
     (one MXU one-hot gather per round) until no lane can improve.
     """
@@ -510,12 +525,31 @@ def _treelet_row(boxes_ref, tab_ref,
             kbits = jax.lax.bitcast_convert_type(te, jnp.int32)
             return jnp.where(hit_box, (kbits & ~LOCAL_MASK) | lid, INT_MAX)
 
-        # ---- phase 1: per-chunk, per-lane min key (chunk skip bounds) ----
-        mins = []
-        for kk in range(n_chunks):
-            keys_kk = chunk_keys(boxes_ref[kk*CHUNK:(kk+1)*CHUNK, :], kk * CHUNK)
-            mins.append(jnp.min(keys_kk, axis=0, keepdims=True))
-        chunkmins = jnp.concatenate(mins, axis=0) if n_chunks > 1 else mins[0]
+        # ---- phase 1: chunk-box slab test -> per-lane chunk lower bounds.
+        # Keys carry no treelet id (pure clipped-t_enter bits); stripping
+        # LOCAL_MASK in lane_alive only lowers the bound further, so the
+        # shared comparison logic stays conservative.
+        def chunk_box_keys():
+            cb = cboxes_ref[...]  # [n_chunks(pad to >=1), 8]
+            tx0 = (cb[:, 0:1] - rox) * inv_x  # [n_chunks, rays]
+            tx1 = (cb[:, 3:4] - rox) * inv_x
+            ty0 = (cb[:, 1:2] - roy) * inv_y
+            ty1 = (cb[:, 4:5] - roy) * inv_y
+            tz0 = (cb[:, 2:3] - roz) * inv_z
+            tz1 = (cb[:, 5:6] - roz) * inv_z
+            t_enter = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1))
+            t_exit = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1))
+            hit_box = (t_enter <= t_exit) & (t_exit >= T_MIN) & (
+                t_enter < t_max)
+            te = jnp.clip(t_enter, 0.0, BIG)
+            kbits = jax.lax.bitcast_convert_type(te, jnp.int32)
+            return jnp.where(hit_box, kbits, INT_MAX)
+
+        chunkmins = chunk_box_keys()
 
         t_best0 = jnp.full((1, rays), BIG, jnp.float32)
         idx0 = jnp.full((1, rays), -1, jnp.int32)
@@ -642,7 +676,7 @@ def _treelet_row(boxes_ref, tab_ref,
                                              "nf", "treelet", "any_hit",
                                              "rays", "subrows", "resident",
                                              "interpret", "debug_rounds"))
-def _trace_blocks(boxes, table, ray_comps, kind, n_chunks, t_count,
+def _trace_blocks(boxes, cboxes, table, ray_comps, kind, n_chunks, t_count,
                   nf, treelet, any_hit=False, rays=RAYS, subrows=SUBROWS,
                   resident=False, interpret=False, debug_rounds=False):
     blocks = ray_comps[0].shape[0] // subrows
@@ -658,7 +692,7 @@ def _trace_blocks(boxes, table, ray_comps, kind, n_chunks, t_count,
     return pl.pallas_call(
         kernel,
         grid=(blocks,),
-        in_specs=[vmem()] + [vmem() if resident else anym()]
+        in_specs=[vmem(), vmem()] + [vmem() if resident else anym()]
         + [rblk()] * 7,
         out_specs=(rblk(), rblk()),
         out_shape=(
@@ -671,7 +705,7 @@ def _trace_blocks(boxes, table, ray_comps, kind, n_chunks, t_count,
             pltpu.SemaphoreType.DMA((1,)),
         ],
         interpret=interpret,
-    )(boxes, table, *ray_comps)
+    )(boxes, cboxes, table, *ray_comps)
 
 
 class TreeletTracer:
@@ -685,7 +719,7 @@ class TreeletTracer:
         self.treelet = treelet
         self.rays = rays
         self.subrows = subrows
-        (self.boxes, self.table, self.n_chunks,
+        (self.boxes, self.cboxes, self.table, self.n_chunks,
          self.t_count, slot_prim, self.world_bounds) = build_treelets(
             kind, fields, bbox_lo, bbox_hi, treelet=treelet)
         # Fully-VMEM-resident single-loop mode. Measured on v5e: wins only
@@ -757,7 +791,7 @@ class TreeletTracer:
                 t_max=rays.t_max[perm])
         comps, n = self._components(rays)
         t, packed = _trace_blocks(
-            self.boxes, self.table, tuple(comps),
+            self.boxes, self.cboxes, self.table, tuple(comps),
             kind=self.kind, n_chunks=self.n_chunks, t_count=self.t_count,
             nf=N_FIELDS[self.kind], treelet=self.treelet,
             any_hit=any_hit, rays=self.rays, subrows=self.subrows,

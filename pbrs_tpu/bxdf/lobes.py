@@ -112,17 +112,30 @@ def _fourier_idx(lb: "Lobes"):
 
 
 def concentric_sample_disk(u2):
-    """Map [0,1)² to the unit disk. [ref: geometry/src/bxdf.rs:187-200]
+    """Map [0,1)² UNIFORMLY to the unit disk (Shirley-Chiu concentric).
 
-    Uses the reference's polar form: radius = max(|x|,|y|), angle from the
-    normalized (x, y)."""
+    Deliberate fix vs the reference (COMPAT.md): bxdf.rs:187-200 uses a
+    "polar form" — radius = max(|x|,|y|), angle from the *normalized*
+    (x, y) — whose radius marginal is correct but whose azimuth density
+    varies by ±33% (period π/2, diagonals oversampled: the square has
+    more area per unit angle toward its corners). Every cosine-hemisphere
+    sample drawn that way is azimuthally biased while its pdf is reported
+    as cos/π, which biases any azimuth-dependent integrand (~20% on an
+    off-axis environment window; constant-albedo reflectance tests cannot
+    see it because the wrong density cancels against the wrong pdf)."""
     x = u2[..., 0] * 2.0 - 1.0
     y = u2[..., 1] * 2.0 - 1.0
-    r = jnp.maximum(jnp.abs(x), jnp.abs(y))
-    hyp = jnp.sqrt(x * x + y * y)
-    hyp_safe = jnp.maximum(hyp, 1e-20)
-    px = r * x / hyp_safe
-    py = r * y / hyp_safe
+    big = jnp.abs(x) > jnp.abs(y)
+    r = jnp.where(big, x, y)
+    x_safe = jnp.where(x == 0.0, 1.0, x)
+    y_safe = jnp.where(y == 0.0, 1.0, y)
+    theta = jnp.where(
+        big,
+        (jnp.pi / 4.0) * (y / x_safe),
+        (jnp.pi / 2.0) - (jnp.pi / 4.0) * (x / y_safe),
+    )
+    px = r * jnp.cos(theta)
+    py = r * jnp.sin(theta)
     degenerate = (x == 0.0) & (y == 0.0)
     return jnp.where(degenerate, 0.0, px), jnp.where(degenerate, 0.0, py)
 
@@ -216,21 +229,32 @@ def _fresnel_blend_eval(lb, wo, wi):
 
 def eval_lobe(lb: Lobes, wo, wi):
     """f(wo, wi) for one lobe slot; specular kinds evaluate to 0. Models
-    absent from the scene (static) are never built."""
+    absent from the scene (static) are never built.
+
+    Reflection-only lobes (Lambert, Oren-Nayar, microfacet reflection,
+    FresnelBlend) are zero for transmission-hemisphere wi: the reference
+    sums lobes with no sidedness check (src/bsdf.rs:43-51), a latent light
+    leak its BSDF-sampled-only integrators never hit — environment
+    importance sampling aims below the horizon and exposed it (COMPAT.md).
+    Fourier tables cover both hemispheres by construction."""
     k = lb.kind
     out = jnp.zeros_like(lb.albedo)
+    same = (mf.same_hemisphere(wo, wi))[..., None]
     if lb.has(LAMBERT):
-        out = jnp.where(k[..., None] == LAMBERT, lb.albedo * INV_PI, out)
+        out = jnp.where((k[..., None] == LAMBERT) & same,
+                        lb.albedo * INV_PI, out)
     if lb.has(OREN_NAYAR):
         on = lb.albedo * INV_PI * _oren_nayar_factor(lb, wo, wi)[..., None]
-        out = jnp.where(k[..., None] == OREN_NAYAR, on, out)
+        out = jnp.where((k[..., None] == OREN_NAYAR) & same, on, out)
     if lb.has(MICROFACET):
         out = jnp.where(
-            k[..., None] == MICROFACET, _microfacet_eval(lb, wo, wi), out
+            (k[..., None] == MICROFACET) & same,
+            _microfacet_eval(lb, wo, wi), out
         )
     if lb.has(FRESNEL_BLEND):
         out = jnp.where(
-            k[..., None] == FRESNEL_BLEND, _fresnel_blend_eval(lb, wo, wi), out
+            (k[..., None] == FRESNEL_BLEND) & same,
+            _fresnel_blend_eval(lb, wo, wi), out
         )
     if lb.has(FOURIER) and lb.fourier is not None:
         from . import fourier as fourier_mod

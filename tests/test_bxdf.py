@@ -253,3 +253,48 @@ def test_fresnel_blend_pdf_integrates_to_one():
     wo = jnp.broadcast_to(WO, (n, 3))
     pdf = lb.pdf_lobe(lobe0(lobes), wo, dirs)
     np.testing.assert_allclose(float(jnp.sum(pdf * dw)), 1.0, atol=2e-2)
+
+
+def test_concentric_disk_is_uniform():
+    """The disk map must be area-preserving: flat azimuth histogram AND
+    the correct radius CDF (the reference's polar form has a ±33% azimuth
+    ripple with period pi/2 — bxdf.rs:187-200, fixed here; COMPAT.md)."""
+    import numpy as np
+    from pbrs_tpu.bxdf import lobes as lb
+
+    rng = np.random.default_rng(0)
+    u2 = jnp.asarray(rng.random((1 << 18, 2)), jnp.float32)
+    px, py = lb.concentric_sample_disk(u2)
+    px, py = np.asarray(px), np.asarray(py)
+    r2 = px * px + py * py
+    assert (r2 <= 1.0 + 1e-6).all()
+    phi = np.arctan2(py, px)
+    h, _ = np.histogram(phi, bins=32, range=(-np.pi, np.pi))
+    ripple = h / h.mean()
+    # 32 bins x ~8k samples: Poisson noise ~1%; the polar form rippled 33%
+    assert np.abs(ripple - 1.0).max() < 0.05, ripple
+    # radius: P(r <= s) = s^2
+    for s in (0.3, 0.5, 0.8):
+        frac = (r2 <= s * s).mean()
+        assert abs(frac - s * s) < 0.01, (s, frac)
+
+
+def test_cosine_hemisphere_energy_against_window():
+    """Azimuth-dependent integrand: E[L(w)] under cosine sampling must
+    match the analytic cosine-weighted integral of an off-axis 'window'
+    indicator (the polar-form sampler missed this by ~20%)."""
+    import numpy as np
+    from pbrs_tpu.bxdf import lobes as lb
+
+    rng = np.random.default_rng(1)
+    u2 = jnp.asarray(rng.random((1 << 18, 2)), jnp.float32)
+    wi = np.asarray(lb.cos_sample_hemisphere(u2))
+    # window: azimuth in [0, pi/8], elevation 30-60 degrees
+    phi = np.arctan2(wi[:, 1], wi[:, 0])
+    cost = wi[:, 2]
+    inside = ((phi >= 0) & (phi <= np.pi / 8)
+              & (cost >= 0.5) & (cost <= np.sqrt(3) / 2))
+    est = inside.mean()  # = integral of indicator * cos/pi
+    # analytic: (1/pi) * dphi * int_{0.5}^{sqrt3/2} c dc * 2pi/(2pi)...
+    want = (np.pi / 8) * (3.0 / 4.0 - 1.0 / 4.0) / 2.0 / np.pi
+    assert abs(est - want) / want < 0.03, (est, want)
