@@ -31,6 +31,7 @@ DIM_BSDF_UV = 4
 DIM_RUSSIAN_ROULETTE = 5
 DIM_SPECULAR_CHOICE = 6
 DIM_CAMERA_STRATUM = 7
+DIM_COMPACT = 8
 
 
 def _pcg_permute(x):

@@ -66,17 +66,29 @@ def camera_rays_weighted(scene, sampler, pixel_idx, sample_idx, msaa,
 
 def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
                   rr_start=3, intersect_fn=None, occlude_fn=None,
-                  use_nee=True, return_ray_count=False):
+                  use_nee=True, return_ray_count=False,
+                  shrink_schedule=None):
     """Estimate radiance along camera rays. Returns [N,3].
 
     Every bounce, all lanes: closest-hit, emission on camera/post-delta
     segments, one-light NEE with MIS, BSDF sampling, Russian roulette after
     `rr_start`. [ref: src/pathintegrator.rs:9-74]
+
+    `shrink_schedule` (optional, tuple of per-bounce static lane
+    capacities, schedule[0] == N) switches to the compacting loop: see
+    `path_radiance_compacted`.
     """
     if intersect_fn is None:
         intersect_fn = lambda r: isect_mod.intersect(scene.geom, r)
     if occlude_fn is None:
         occlude_fn = lambda r: isect_mod.occluded(scene.geom, r)
+    if shrink_schedule is not None:
+        return path_radiance_compacted(
+            scene, rays, sampler, pixel_idx, sample_idx,
+            tuple(shrink_schedule), max_depth=max_depth, rr_start=rr_start,
+            intersect_fn=intersect_fn, occlude_fn=occlude_fn,
+            use_nee=use_nee, return_ray_count=return_ray_count,
+        )
 
     n = rays.origin.shape[0]
 
@@ -175,9 +187,270 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
     return state[1]
 
 
+COMPACT_BLOCK = 8  # lanes move in G-lane blocks; see path_radiance_compacted
+
+
+def auto_schedule(alive_counts, n, margin=1.5, min_cap=1 << 14,
+                  quantum=None):
+    """Static per-bounce lane capacities from measured COVERED-lane counts
+    (lanes in G-blocks containing at least one alive lane —
+    `measure_alive` reports these).
+
+    Capacity = margin x covered, rounded up to `quantum` lanes (default
+    max(8192, n/128) — trace rows are 1024 lanes and blocks G lanes, both
+    divide it), clamped to [min_cap, n]; a shrink is only scheduled when
+    it saves at least 25% of the current size (the compaction gather
+    isn't free). With the default margin the block-roulette keep
+    probability is 1 in practice, so the estimator matches the masked
+    loop exactly (up to XLA reassociation)."""
+    if quantum is None:
+        quantum = max(256, min(8192, (n // 8) // 256 * 256))
+    caps = [n]
+    cur = n
+    for c in alive_counts[1:]:
+        want = max(min_cap, int(margin * float(c)))
+        q = -(-want // quantum) * quantum
+        cap = min(cur, q)
+        if cap > (3 * cur) // 4:
+            cap = cur
+        caps.append(cap)
+        cur = cap
+    return tuple(caps)
+
+
+def measure_alive(scene, sampler, pixel_idx, sample_idx, max_depth=5,
+                  msaa=2, intersect_fn=None, occlude_fn=None):
+    """Pilot pass: per-bounce COVERED lane counts (lanes in
+    COMPACT_BLOCK-sized blocks containing >=1 alive lane) for
+    `auto_schedule` (device code identical to the masked loop's survival
+    logic)."""
+    if intersect_fn is None:
+        intersect_fn = lambda r: isect_mod.intersect(scene.geom, r)
+    rays = camera_rays(scene, sampler, pixel_idx, sample_idx, msaa)
+    n = rays.origin.shape[0]
+    G = COMPACT_BLOCK
+    alive = jnp.ones(n, bool)
+    beta = jnp.ones((n, 3), jnp.float32)
+    counts = []
+    for bounce in range(max_depth):
+        covered = jnp.sum(
+            (alive.reshape(-1, G).sum(axis=1) > 0).astype(jnp.float32)
+        ) * G
+        counts.append(covered)
+        hit = intersect_fn(rays)
+        alive = alive & hit.hit
+        lobes, _ = mat_mod.shading_at(
+            scene.materials, scene.textures, hit.mat_id, hit.uv, hit.pos
+        )
+        frame = bsdf_mod.make_frame(hit.normal, hit.dpdu)
+        u_bsdf = sampler.u2(pixel_idx, sample_idx, bounce, smp.DIM_BSDF_UV)
+        f, wi, pdf, is_delta = bsdf_mod.sample_bsdf(lobes, frame, hit.wo,
+                                                    u_bsdf)
+        cos_term = jnp.abs(vm.dot(wi, frame.n))
+        step_ok = (pdf > 0.0) & (
+            (f[..., 0] > 0.0) | (f[..., 1] > 0.0) | (f[..., 2] > 0.0)
+        )
+        alive = alive & step_ok
+        beta = jnp.where(
+            alive[..., None],
+            beta * f * (cos_term * vm.weak_recip(pdf))[..., None], beta)
+        q = jnp.maximum(0.05, 1.0 - radiometry.luminance(beta))
+        u_rr = sampler.u1(pixel_idx, sample_idx, bounce,
+                          smp.DIM_RUSSIAN_ROULETTE)
+        killed = (bounce > 3) & (u_rr < q)
+        alive = alive & ~killed
+        rays = ray_mod.spawn(hit.pos, hit.normal, wi)
+        rays = rays.replace(t_max=jnp.where(alive, rays.t_max, 0.0))
+    return jnp.stack(counts)
+
+
+def _pack_state(rays, beta, pix, sid, orig, specular, alive):
+    """State -> one [M,15] f32 matrix so the compaction is a single
+    row-gather (separate per-column gathers cost ~4x more on TPU; int
+    columns ride bitcast)."""
+    as_f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    return jnp.concatenate([
+        rays.origin, rays.dir, rays.t_max[:, None], beta,
+        as_f(pix)[:, None], as_f(sid)[:, None], as_f(orig)[:, None],
+        specular.astype(jnp.float32)[:, None],
+        alive.astype(jnp.float32)[:, None],
+    ], axis=1)
+
+
+def _unpack_state(s):
+    as_i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    rays = ray_mod.RayBatch(origin=s[:, 0:3], dir=s[:, 3:6], t_max=s[:, 6])
+    beta = s[:, 7:10]
+    pix = as_i(s[:, 10])
+    sid = as_i(s[:, 11])
+    orig = as_i(s[:, 12])
+    specular = s[:, 13] > 0.5
+    alive = s[:, 14] > 0.5
+    return rays, beta, pix, sid, orig, specular, alive
+
+
+def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
+                            schedule, max_depth=5, rr_start=3,
+                            intersect_fn=None, occlude_fn=None,
+                            use_nee=True, return_ray_count=False):
+    """Masked bounce loop with a static shrink schedule.
+
+    The TPU wavefront's cost is lane-count-proportional at every stage
+    (trace rows, NEE math, shading gathers) while the alive fraction
+    collapses after a bounce or two on open scenes — measured mesh_ball:
+    0.83, 0.105, 0.079, 0.012,... scattered over 87% of trace rows, so
+    masked execution pays ~full price for ~10% utilization. Here the
+    wavefront is compacted to a smaller STATIC capacity per bounce
+    (Python-unrolled loop, one XLA program per depth; `schedule` is a
+    tuple of pow2 lane counts from `auto_schedule`). Shapes stay static —
+    the schedule, not the data, decides sizes, and compaction is one
+    packed row-gather.
+
+    Unbiasedness under overflow: if more than `cap` lanes survive, lanes
+    are pre-thinned by capacity roulette — keep probability
+    p = min(1, 0.95 cap / alive), throughput scaled by 1/p — the same
+    estimator-preserving trick as Russian roulette
+    [ref: src/pathintegrator.rs:65-71]. With auto_schedule's 4x margin,
+    p == 1 in practice and the result is bit-identical to the masked
+    fori_loop (tests/test_compaction.py). A >cap overflow AFTER the
+    roulette margin would drop lanes (probability < 1e-12 at pow2-sized
+    margins; Chernoff).
+
+    RNG parity: every per-lane dimension is keyed by (pixel, sample,
+    bounce) exactly as in the masked loop, so compaction never perturbs
+    sample streams.
+    """
+    if intersect_fn is None:
+        intersect_fn = lambda r: isect_mod.intersect(scene.geom, r)
+    if occlude_fn is None:
+        occlude_fn = lambda r: isect_mod.occluded(scene.geom, r)
+    n = rays.origin.shape[0]
+    assert len(schedule) >= max_depth and schedule[0] >= n
+
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    beta = jnp.ones((n, 3), jnp.float32)
+    alive = jnp.ones(n, bool)
+    specular = jnp.zeros(n, bool)
+    pix = pixel_idx
+    sid = sample_idx
+    orig = jnp.arange(n, dtype=jnp.int32)
+    ray_count = jnp.zeros((), jnp.float32)
+
+    G = COMPACT_BLOCK
+    for bounce in range(max_depth):
+        cap = min(schedule[bounce], n)
+        cap -= cap % G
+        cur = rays.origin.shape[0]
+        if cap < cur:
+            # --- block capacity roulette (p==1 unless margin blown) ---
+            curB, capB = cur // G, cap // G
+            balive = alive.reshape(curB, G).any(axis=1)
+            nb = jnp.sum(balive.astype(jnp.int32)).astype(jnp.float32)
+            p = jnp.minimum(1.0, 0.95 * capB / jnp.maximum(nb, 1.0))
+            # One uniform per block: the block's first lane's stream.
+            u_c = sampler.u1(pix, sid, bounce, smp.DIM_COMPACT)
+            keepb = balive & (u_c.reshape(curB, G)[:, 0] < p)
+            beta = beta * jnp.where(
+                jnp.repeat(keepb, G), 1.0 / p, 1.0)[:, None]
+            # --- stable block compaction to the static capacity ---
+            ka = keepb.astype(jnp.int32)
+            dest = jnp.cumsum(ka) - 1
+            n_keep = jnp.sum(ka)
+            iota = jnp.arange(curB, dtype=jnp.int32)
+            selb = jnp.zeros(capB, jnp.int32).at[
+                jnp.where(keepb, dest, capB)
+            ].set(iota, mode="drop")
+            packed = _pack_state(rays, beta, pix, sid, orig, specular,
+                                 alive).reshape(curB, G * 15)
+            sp = jnp.take(packed, selb, axis=0).reshape(capB * G, 15)
+            (rays, beta, pix, sid, orig, specular,
+             lane_alive) = _unpack_state(sp)
+            slot_alive = jnp.repeat(
+                jnp.arange(capB, dtype=jnp.int32) < n_keep, G)
+            alive = lane_alive & slot_alive
+            rays = rays.replace(
+                t_max=jnp.where(alive, rays.t_max, 0.0))
+
+        ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
+        hit = intersect_fn(rays)
+        lobes, emit = mat_mod.shading_at(
+            scene.materials, scene.textures, hit.mat_id, hit.uv, hit.pos
+        )
+        env = lt.eval_env(scene.env, rays.dir)
+        direct_seen = jnp.where(hit.hit[..., None], emit, env)
+        if use_nee:
+            count_emission = alive & ((bounce == 0) | specular)
+        else:
+            count_emission = alive
+        # Emission and NEE are scatter-added SEPARATELY so each lane's
+        # accumulation order matches the masked loop exactly (radiance +
+        # emission + nee; float addition is not associative). Until the
+        # first shrink the layout is the identity, so plain adds suffice;
+        # afterwards contributions land as G-lane block rows (blocks move
+        # atomically, so each lane's original block is orig//G of its
+        # first lane — block-row scatters cost 1/G of per-lane ones).
+        compacted_yet = rays.origin.shape[0] < n
+
+        def bank(radiance, contrib):
+            if not compacted_yet:
+                return radiance + contrib
+            m = contrib.shape[0]
+            borig = orig.reshape(m // G, G)[:, 0] // G
+            return radiance.reshape(n // G, G * 3).at[borig].add(
+                contrib.reshape(m // G, G * 3), mode="drop"
+            ).reshape(n, 3)
+
+        radiance = bank(radiance, jnp.where(
+            count_emission[..., None], beta * direct_seen, 0.0))
+
+        alive = alive & hit.hit
+        frame = bsdf_mod.make_frame(hit.normal, hit.dpdu)
+        wo = hit.wo
+
+        if use_nee and scene.num_lights > 0:
+            u_sel = sampler.u1(pix, sid, bounce, smp.DIM_LIGHT_SELECT)
+            u_light = sampler.u2(pix, sid, bounce, smp.DIM_LIGHT_UV)
+            u_scatter = sampler.u2(pix, sid, bounce, smp.DIM_SCATTER_UV)
+            l_direct = nee.uniform_sample_one_light(
+                scene, lobes, frame, hit.pos, hit.normal, wo,
+                u_sel, u_light, u_scatter, occlude_fn=occlude_fn,
+                alive=alive,
+            )
+            radiance = bank(radiance, jnp.where(
+                alive[..., None], beta * l_direct, 0.0))
+            ray_count = ray_count + 2.0 * jnp.sum(alive.astype(jnp.float32))
+
+        u_bsdf = sampler.u2(pix, sid, bounce, smp.DIM_BSDF_UV)
+        f, wi, pdf, is_delta = bsdf_mod.sample_bsdf(lobes, frame, wo, u_bsdf)
+        cos_term = jnp.abs(vm.dot(wi, frame.n))
+        step_ok = (pdf > 0.0) & (
+            (f[..., 0] > 0.0) | (f[..., 1] > 0.0) | (f[..., 2] > 0.0)
+        )
+        alive = alive & step_ok
+        beta = jnp.where(
+            alive[..., None],
+            beta * f * (cos_term * vm.weak_recip(pdf))[..., None], beta)
+        rays = ray_mod.spawn(hit.pos, hit.normal, wi)
+        q = jnp.maximum(0.05, 1.0 - radiometry.luminance(beta))
+        u_rr = sampler.u1(pix, sid, bounce, smp.DIM_RUSSIAN_ROULETTE)
+        rr_active = bounce > rr_start
+        killed = rr_active & (u_rr < q)
+        alive = alive & ~killed
+        rr_scale = jnp.where(
+            rr_active & alive, 1.0 / jnp.maximum(1.0 - q, 1e-6), 1.0)
+        beta = beta * rr_scale[..., None]
+        specular = is_delta
+        rays = rays.replace(t_max=jnp.where(alive, rays.t_max, 0.0))
+
+    if return_ray_count:
+        return radiance, ray_count
+    return radiance
+
+
 def render_samples(scene, sampler, pixel_idx, sample_idx, max_depth=5, msaa=2,
                    intersect_fn=None, occlude_fn=None, use_nee=True,
-                   return_ray_count=False, filter_inv_cdf=None):
+                   return_ray_count=False, filter_inv_cdf=None,
+                   shrink_schedule=None):
     """Camera rays + path integration for a (pixel, sample) batch."""
     rays, weight = camera_rays_weighted(
         scene, sampler, pixel_idx, sample_idx, msaa, filter_inv_cdf
@@ -185,7 +458,7 @@ def render_samples(scene, sampler, pixel_idx, sample_idx, max_depth=5, msaa=2,
     out = path_radiance(
         scene, rays, sampler, pixel_idx, sample_idx, max_depth=max_depth,
         intersect_fn=intersect_fn, occlude_fn=occlude_fn, use_nee=use_nee,
-        return_ray_count=return_ray_count,
+        return_ray_count=return_ray_count, shrink_schedule=shrink_schedule,
     )
     if weight is None:
         return out
