@@ -31,6 +31,8 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
     from pbrs_tpu.integrators import direct as direct_mod
     from pbrs_tpu.integrators import wavefront
 
+    import os
+
     cam = scene.camera
     scale_w = (cam.width // 2) / (size[0] // 2)
     scale_h = (cam.height // 2) / (size[1] // 2)
@@ -39,7 +41,9 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
         center=cam.center, orientation=cam.orientation,
         a=cam.a * scale_w, b=cam.b * scale_h, c=cam.c,
     ))
-    isect_fn, occl_fn = td.make_trace_fns(scene)
+    trace_mode = os.environ.get("PBRS_TRACE_MODE") or None
+    use_compact = os.environ.get("PBRS_COMPACT", "0") == "1"
+    isect_fn, occl_fn = td.make_trace_fns(scene, trace_mode=trace_mode)
     sampler = smp.PCGSampler(0)
     n = size[0] * size[1]
     msaa = max(1, int(round(spp ** 0.5)))
@@ -49,7 +53,9 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
     chunk_n = min(n, 1 << 20)
     n_chunks = -(-n // chunk_n)
     pad_n = n_chunks * chunk_n
-    pix_all = jnp.arange(pad_n, dtype=jnp.int32) % n
+    order = wavefront.morton_pixel_order(size[0], size[1])
+    pix_all = jnp.asarray(
+        np.concatenate([order, order[:pad_n - n]]) if pad_n > n else order)
     pix_chunks = [pix_all[c * chunk_n:(c + 1) * chunk_n]
                   for c in range(n_chunks)]
     samples_per_launch = max(1, min(msaa * msaa, (1 << 20) // chunk_n))
@@ -70,21 +76,51 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
         elif fsl.scene_supports_single_lobe(scene):
             integ = fsl.FusedSingleLobeIntegrator(scene)
         elif fw.scene_supports_wave(scene):
-            integ = fw.FusedWaveIntegrator(scene)
+            integ = fw.FusedWaveIntegrator(scene, trace_mode=trace_mode)
         if integ is not None:
+            wave_sched = None
+            if use_compact and isinstance(integ, fw.FusedWaveIntegrator):
+                lanes0 = lanes_chunks[0]
+                counts = np.asarray(jax.jit(
+                    lambda: wavefront.measure_alive(
+                        scene, sampler, lanes0, sample_ids(0),
+                        max_depth=depth, msaa=msaa,
+                        intersect_fn=isect_fn))())
+                wave_sched = wavefront.auto_schedule(
+                    counts, lanes0.shape[0])
+                print(f"  wave compact schedule: {wave_sched}",
+                      file=sys.stderr)
 
             def step1(lanes, base):
-                rad, cnt = integ.render_samples(
-                    sampler, lanes, sample_ids(base), max_depth=depth,
-                    msaa=msaa, return_ray_count=True,
-                )
+                if wave_sched is not None:
+                    rad, cnt = integ.render_samples_compacted(
+                        sampler, lanes, sample_ids(base), wave_sched,
+                        max_depth=depth, msaa=msaa, return_ray_count=True,
+                    )
+                else:
+                    rad, cnt = integ.render_samples(
+                        sampler, lanes, sample_ids(base), max_depth=depth,
+                        msaa=msaa, return_ray_count=True,
+                    )
                 return jnp.sum(rad), cnt
         else:
+            sched = None
+            if use_compact:
+                lanes0 = lanes_chunks[0]
+                counts = np.asarray(jax.jit(
+                    lambda: wavefront.measure_alive(
+                        scene, sampler, lanes0, sample_ids(0),
+                        max_depth=depth, msaa=msaa,
+                        intersect_fn=isect_fn))())
+                sched = wavefront.auto_schedule(
+                    counts, lanes0.shape[0])
+                print(f"  compact schedule: {sched}", file=sys.stderr)
+
             def step1(lanes, base):
                 rad, cnt = wavefront.render_samples(
                     scene, sampler, lanes, sample_ids(base), max_depth=depth,
                     msaa=msaa, intersect_fn=isect_fn, occlude_fn=occl_fn,
-                    return_ray_count=True,
+                    return_ray_count=True, shrink_schedule=sched,
                 )
                 return jnp.sum(rad), cnt
         fn1 = jax.jit(step1)
@@ -166,41 +202,52 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
 def main():
     from pbrs_tpu.scene import presets
 
+    # Optional config filter: `python benchmarks.py mesh interior` runs
+    # only configs whose name contains one of the substrings, and merges
+    # results into the existing benchmarks.json instead of replacing it.
+    sel = sys.argv[1:]
+
+    def wanted(name):
+        return not sel or any(sub in name for sub in sel)
+
     results = []
-    results.append(run_config(
+
+    def run_config(name, *a, **kw):
+        if not wanted(name):
+            return None
+        return globals()["run_config"](name, *a, **kw)
+
+    def emit(r):
+        if r is not None:
+            results.append(r)
+            print(json.dumps(r), file=sys.stderr, flush=True)
+
+    emit(run_config(
         "cornell_direct_256_16spp", presets.cornell_box(), (256, 256), 16, 2,
         integrator="direct",
     ))
-    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
-    results.append(run_config(
+    emit(run_config(
         "cornell_path_512_64spp_8b", presets.cornell_box(), (512, 512), 64, 8,
     ))
-    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
-    results.append(run_config(
+    emit(run_config(
         "cornell_path_1024_8b", presets.cornell_box(), (1024, 1024), 4, 8,
     ))
-    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
-    results.append(run_config(
+    emit(run_config(
         "mesh_ball_bvh_800x600", presets.mesh_ball(levels=5), (800, 608), 4, 6,
     ))
-    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
-    results.append(run_config(
+    emit(run_config(
         "plates_mis_microfacet_1024", presets.plates(), (1024, 1024), 4, 5,
     ))
-    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
-    results.append(run_config(
+    emit(run_config(
         "everything_3400prims_800", presets.everything(), (800, 800), 4, 5,
     ))
-    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
-    results.append(run_config(
+    emit(run_config(
         "env_mapped_specular_1280x800", presets.env_mapped(), (1280, 800), 4, 5,
     ))
-    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
-    results.append(run_config(
+    emit(run_config(
         "mixed_spheres_485_800", presets.mixed_spheres(), (800, 800), 4, 5,
     ))
-    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
-    results.append(run_config(
+    emit(run_config(
         "two_perlin_textured_800", presets.two_perlin_spheres(),
         (800, 800), 4, 5,
     ))
@@ -214,15 +261,22 @@ def main():
     from pbrs_tpu.scene.pbrt import loader as pbrt_loader
 
     interior = pbrt_loader.build_scene("scenes/interior/interior.pbrt")
-    results.append(run_config(
+    emit(run_config(
         "interior_instanced_mis_1024", interior, (1024, 1024), 4, 5,
     ))
-    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
-    results.append(run_config(
+    emit(run_config(
         "interior_pbrt_1920x1080_1024spp", interior, (1920, 1080), 1024, 8,
     ))
-    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
 
+    if sel:
+        try:
+            with open("benchmarks.json") as f:
+                old = {r["config"]: r for r in json.load(f)}
+        except Exception:
+            old = {}
+        for r in results:
+            old[r["config"]] = r
+        results = list(old.values())
     with open("benchmarks.json", "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"benchmarks": len(results)}))

@@ -8,9 +8,14 @@ from ..shapes import intersect as isect_mod
 from . import trace_pallas
 
 
-def make_trace_fns(scene, use_pallas: bool | None = None, interpret=False):
+def make_trace_fns(scene, use_pallas: bool | None = None, interpret=False,
+                   trace_mode=None):
     """Returns (intersect_fn, occlude_fn) for the scene geometry,
-    including any trace-time instance groups (accel/instanced.py)."""
+    including any trace-time instance groups (accel/instanced.py).
+
+    trace_mode: treelet kernel selection ('rowdense' row-shared dense
+    visits — fastest when lanes are tile/Morton-ordered; None/'onehot'
+    per-lane MXU gathers)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     geom = scene.geom
@@ -32,10 +37,11 @@ def make_trace_fns(scene, use_pallas: bool | None = None, interpret=False):
         tracer = trace_pallas.PallasTracer(geom, interpret=interpret)
 
         def base_isect(rays):
-            t, idx = tracer.trace(rays)
+            t, idx = tracer.trace(rays, mode=trace_mode)
             return isect_mod.hit_from_t_idx(geom, rays, t, idx)
 
-        base_occl = tracer.occluded
+        def base_occl(rays):
+            return tracer.occluded(rays, mode=trace_mode)
 
     if not groups:
         return base_isect, base_occl
@@ -45,10 +51,21 @@ def make_trace_fns(scene, use_pallas: bool | None = None, interpret=False):
     # Per-group master tracers (t-only + any-hit), Pallas when available.
     group_fns = []
     for grp in groups:
-        if use_pallas:
+        gg = grp.geom
+        n_prims = int(gg.sph_center.shape[0] + gg.quad_origin.shape[0]
+                      + gg.tri_p0.shape[0] + gg.disk_center.shape[0])
+        if use_pallas and n_prims > 64:
             mtracer = trace_pallas.PallasTracer(grp.geom, interpret=interpret)
-            t_fn = (lambda tr: lambda _g, r: tr.trace(r))(mtracer)
-            o_fn = (lambda tr: lambda _g, r: tr.occluded(r))(mtracer)
+            t_fn = (lambda tr: lambda _g, r: tr.trace(r, mode=trace_mode))(
+                mtracer)
+            o_fn = (lambda tr: lambda _g, r: tr.occluded(r, mode=trace_mode))(
+                mtracer)
+        elif use_pallas:
+            # Tiny master geometry (a handful of prims): the jnp sweep
+            # fuses into XLA; a Pallas launch per trace costs more than
+            # testing every prim on every lane.
+            t_fn = inst_mod.intersect_t
+            o_fn = isect_mod.occluded
         else:
             t_fn = inst_mod.intersect_t
             o_fn = isect_mod.occluded

@@ -1045,14 +1045,16 @@ class FusedWaveIntegrator:
     occlusion run through dispatch.make_trace_fns (any geometry, incl.
     trace-time instance groups)."""
 
-    def __init__(self, scene, interpret=False, use_pallas=None):
+    def __init__(self, scene, interpret=False, use_pallas=None,
+                 trace_mode=None):
         from . import dispatch as trace_dispatch
         from .treelet import _split3
 
         self.scene = scene
         self.interpret = interpret
         self.intersect_fn, self.occlude_fn = trace_dispatch.make_trace_fns(
-            scene, use_pallas=use_pallas, interpret=interpret)
+            scene, use_pallas=use_pallas, interpret=interpret,
+            trace_mode=trace_mode)
 
         mt = scene.materials
         km = np.asarray(mt.kind)
@@ -1128,6 +1130,211 @@ class FusedWaveIntegrator:
             scene.env, "dist", None) is not None
 
     # ------------------------------------------------------------------
+
+    def _bounce_flat(self, sampler, rays, pix, sid, beta, alive_v, spec_v,
+                     bounce, rr_start):
+        """One wave bounce over a flat [m] lane batch (Python-int bounce).
+
+        Same math as the fori bounce_body in render_samples, restructured
+        for the compacting driver: radiance contributions are RETURNED
+        ([m,3]) instead of accumulated, so the caller can bank them to
+        original pixel slots. Kept in lockstep with bounce_body;
+        tests/test_compaction.py pins equality of the two paths."""
+        from ..integrators import wavefront
+        from ..textures import textures as tex
+
+        scene = self.scene
+        m = rays.origin.shape[0]
+        rows = -(-m // LANES)
+        rows = -(-rows // BLOCK_ROWS) * BLOCK_ROWS
+        pad = rows * LANES - m
+
+        def prep(a, fill=0.0):
+            a = jnp.concatenate([a, jnp.full(pad, fill, a.dtype)])
+            return a.reshape(rows, LANES)
+
+        def unprep(p):
+            return p.reshape(-1)[:m]
+
+        pix_pl = prep(pix.astype(jnp.int32), 0)
+        samp_pl = prep(sid.astype(jnp.int32), 0)
+        alive_pl = prep(alive_v.astype(jnp.int32), 0)
+        spec_pl = prep(spec_v.astype(jnp.int32), 0)
+        beta_pl = tuple(prep(beta[:, i]) for i in range(3))
+        seed_ints = jnp.stack([
+            jnp.asarray(sampler.seed).astype(jnp.int32),
+            jnp.asarray(bounce, jnp.int32),
+            jnp.asarray(1 if bounce == 0 else 0, jnp.int32),
+            jnp.asarray(1 if bounce > rr_start else 0, jnp.int32),
+        ])
+        scal = jnp.asarray([self.world_radius], jnp.float32)
+
+        hit = self.intersect_fn(rays)
+        env_here = lt.eval_env(scene.env, rays.dir)
+
+        tex_planes = []
+        for s in self.textured_slots:
+            tid = jnp.asarray(self.tex_id_np[:, s], jnp.int32)[
+                jnp.maximum(hit.mat_id, 0)]
+            val = tex.eval_texture(scene.textures, tid, hit.uv, hit.pos)
+            tex_planes += [prep(val[:, 0]), prep(val[:, 1]),
+                           prep(val[:, 2])]
+
+        env_planes = []
+        if self.env_is:
+            from ..lights import env_sampling as es
+
+            u_light = sampler.u2(pix, sid, bounce, smp.DIM_LIGHT_UV)
+            e_dir, e_rad, e_pdf = es.sample_env(scene.env.dist, u_light)
+            env_planes = [
+                prep(e_dir[:, 0]), prep(e_dir[:, 1]), prep(e_dir[:, 2], 1.0),
+                prep(e_rad[:, 0]), prep(e_rad[:, 1]), prep(e_rad[:, 2]),
+                prep(e_pdf),
+            ]
+
+        in_planes = (
+            prep(rays.dir[:, 0], 1.0), prep(rays.dir[:, 1]),
+            prep(rays.dir[:, 2]),
+            prep(hit.pos[:, 0]), prep(hit.pos[:, 1]), prep(hit.pos[:, 2]),
+            prep(hit.normal[:, 0]), prep(hit.normal[:, 1]),
+            prep(hit.normal[:, 2], 1.0),
+            prep(hit.dpdu[:, 0], 1.0), prep(hit.dpdu[:, 1]),
+            prep(hit.dpdu[:, 2]),
+            prep(hit.mat_id.astype(jnp.int32), -1),
+            prep(hit.hit.astype(jnp.int32), 0),
+            prep(env_here[:, 0]), prep(env_here[:, 1]), prep(env_here[:, 2]),
+            alive_pl, spec_pl,
+            *tex_planes,
+            *env_planes,
+            pix_pl, samp_pl, beta_pl[0], beta_pl[1], beta_pl[2],
+        )
+        out = _shade_call(
+            self.mats, self.mats_splits, self.lights, self.delta,
+            seed_ints, scal, in_planes,
+            n_mats=self.n_mats, n_area=self.n_area,
+            n_delta=self.n_delta, present_kinds=self.present_kinds,
+            light_shapes=self.light_shapes, n_slots=self.n_slots,
+            textured_slots=self.textured_slots, has_env=self.has_env,
+            env_is=self.env_is,
+            interpret=self.interpret,
+        )
+        (rr_, rg_, rb_,
+         s1dx, s1dy, s1dz, s1t, s1side, c1r, c1g, c1b,
+         s2dx, s2dy, s2dz, s2t, s2side, c2r, c2g, c2b, ecr, ecg, ecb,
+         spdf_o,
+         ndx, ndy, ndz, nside, br_, bg_, bb_, alive_o, spec_o) = out
+
+        pos = hit.pos
+        nrm = hit.normal
+
+        def shadow_batch(sdx, sdy, sdz, st, sside):
+            d = jnp.stack([unprep(sdx), unprep(sdy), unprep(sdz)], axis=-1)
+            o = pos + unprep(sside)[:, None] * nrm * SPAWN_EPS
+            return ray_mod.RayBatch(origin=o, dir=d, t_max=unprep(st))
+
+        sh1 = shadow_batch(s1dx, s1dy, s1dz, s1t, s1side)
+        sh2 = shadow_batch(s2dx, s2dy, s2dz, s2t, s2side)
+        # One occlusion launch for both shadow batches: same traced
+        # lanes, half the kernel fixed costs; rows stay internally
+        # coherent (sh1 rows then sh2 rows).
+        shb = ray_mod.RayBatch(
+            origin=jnp.concatenate([sh1.origin, sh2.origin]),
+            dir=jnp.concatenate([sh1.dir, sh2.dir]),
+            t_max=jnp.concatenate([sh1.t_max, sh2.t_max]))
+        occb = self.occlude_fn(shb)
+        m_sh = sh1.t_max.shape[0]
+        occ1 = occb[:m_sh] & (sh1.t_max > 0.0)
+        occ2 = occb[m_sh:] & (sh2.t_max > 0.0)
+
+        c1 = jnp.stack([unprep(c1r), unprep(c1g), unprep(c1b)], axis=-1)
+        c2 = jnp.stack([unprep(c2r), unprep(c2g), unprep(c2b)], axis=-1)
+        ec = jnp.stack([unprep(ecr), unprep(ecg), unprep(ecb)], axis=-1)
+        env2 = lt.eval_env(scene.env, sh2.dir)
+        if self.env_is:
+            from ..lights import env_sampling as es
+
+            p_b = unprep(spdf_o)
+            p_e = es.pdf_env(scene.env.dist, sh2.dir)
+            w_e = p_b * p_b / jnp.maximum(p_b * p_b + p_e * p_e, 1e-30)
+            ec = ec * jnp.where(p_b > 0.0, w_e, 0.0)[:, None]
+        emit = jnp.stack([unprep(rr_), unprep(rg_), unprep(rb_)], axis=-1)
+        contrib = (
+            emit
+            + jnp.where(occ1[:, None], 0.0, c1)
+            + jnp.where(occ2[:, None], 0.0, c2 + ec * env2)
+        )
+
+        alive_after_hit = alive_v & hit.hit
+        shadow_lanes = (
+            2.0 * jnp.sum(alive_after_hit.astype(jnp.float32))
+            if self.n_area + self.n_delta + self.has_env > 0 else 0.0
+        )
+
+        nd = jnp.stack([unprep(ndx), unprep(ndy), unprep(ndz)], axis=-1)
+        no = pos + unprep(nside)[:, None] * nrm * SPAWN_EPS
+        alive_next = unprep(alive_o) > 0
+        new_rays = ray_mod.RayBatch(
+            origin=no, dir=nd,
+            t_max=jnp.where(alive_next, jnp.inf, 0.0))
+        new_beta = jnp.stack(
+            [unprep(br_), unprep(bg_), unprep(bb_)], axis=-1)
+        return (contrib, new_rays, new_beta, alive_next,
+                unprep(spec_o) > 0, shadow_lanes)
+
+    def render_samples_compacted(self, sampler, pixel_idx, sample_idx,
+                                 schedule, max_depth=5, msaa=2, rr_start=3,
+                                 return_ray_count=False, sort_blocks=True):
+        """Python-unrolled wave loop with block compaction + spatial
+        re-sort between bounces (see wavefront.block_compact). One XLA
+        program per depth; shapes follow the static schedule."""
+        from ..integrators import wavefront
+
+        scene = self.scene
+        rays = wavefront.camera_rays(scene, sampler, pixel_idx, sample_idx,
+                                     msaa)
+        n = rays.origin.shape[0]
+        assert len(schedule) >= max_depth and schedule[0] >= n
+        G = wavefront.COMPACT_BLOCK
+
+        radiance = jnp.zeros((n, 3), jnp.float32)
+        beta = jnp.ones((n, 3), jnp.float32)
+        alive = jnp.ones(n, bool)
+        specular = jnp.zeros(n, bool)
+        pix = pixel_idx
+        sid = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.int32), (n,))
+        orig = jnp.arange(n, dtype=jnp.int32)
+        ray_count = jnp.zeros((), jnp.float32)
+
+        for bounce in range(max_depth):
+            cap = min(schedule[bounce], n)
+            cap -= cap % G
+            cur = rays.origin.shape[0]
+            if cap < cur:
+                u_c = sampler.u1(pix, sid, bounce, smp.DIM_COMPACT)
+                (rays, beta, pix, sid, orig, specular,
+                 alive) = wavefront.block_compact(
+                    rays, beta, pix, sid, orig, specular, alive, cap, u_c,
+                    sort_blocks=sort_blocks)
+
+            ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
+            (contrib, rays, beta, alive, specular,
+             shadow_lanes) = self._bounce_flat(
+                sampler, rays, pix, sid, beta, alive, specular, bounce,
+                rr_start)
+            ray_count = ray_count + shadow_lanes
+
+            m = contrib.shape[0]
+            if m == n:
+                radiance = radiance + contrib
+            else:
+                borig = orig.reshape(m // G, G)[:, 0] // G
+                radiance = radiance.reshape(n // G, G * 3).at[borig].add(
+                    contrib.reshape(m // G, G * 3), mode="drop"
+                ).reshape(n, 3)
+
+        if return_ray_count:
+            return radiance, ray_count
+        return radiance
 
     def render_samples(self, sampler, pixel_idx, sample_idx, max_depth=5,
                        msaa=2, rr_start=3, return_ray_count=False):
@@ -1252,8 +1459,16 @@ class FusedWaveIntegrator:
 
             sh1 = shadow_batch(s1dx, s1dy, s1dz, s1t, s1side)
             sh2 = shadow_batch(s2dx, s2dy, s2dz, s2t, s2side)
-            occ1 = self.occlude_fn(sh1) & (sh1.t_max > 0.0)
-            occ2 = self.occlude_fn(sh2) & (sh2.t_max > 0.0)
+            # One occlusion launch for both shadow batches (see
+            # _bounce_flat).
+            shb = ray_mod.RayBatch(
+                origin=jnp.concatenate([sh1.origin, sh2.origin]),
+                dir=jnp.concatenate([sh1.dir, sh2.dir]),
+                t_max=jnp.concatenate([sh1.t_max, sh2.t_max]))
+            occb = self.occlude_fn(shb)
+            m_sh = sh1.t_max.shape[0]
+            occ1 = occb[:m_sh] & (sh1.t_max > 0.0)
+            occ2 = occb[m_sh:] & (sh2.t_max > 0.0)
 
             c1 = jnp.stack([unprep(c1r), unprep(c1g), unprep(c1b)], axis=-1)
             c2 = jnp.stack([unprep(c2r), unprep(c2g), unprep(c2b)], axis=-1)

@@ -341,8 +341,11 @@ class PallasTracer:
         comps.append(prep(rays.t_max, -1.0))
         return comps, n
 
-    def trace(self, rays: ray_mod.RayBatch, any_hit=False):
-        """Returns (t [N], prim_idx [N]) with t=inf, idx=-1 on miss."""
+    def trace(self, rays: ray_mod.RayBatch, any_hit=False, mode=None):
+        """Returns (t [N], prim_idx [N]) with t=inf, idx=-1 on miss.
+
+        mode: treelet kernel selection forwarded to TreeletTracer.trace
+        (None/'onehot' per-lane gathers, 'rowdense' row-shared dense)."""
         comps, n = self._components(rays)
         t, idx = _trace_padded(
             self.params, *comps, counts=self.counts,
@@ -350,12 +353,12 @@ class PallasTracer:
         )
         t, idx = t.reshape(-1)[:n], idx.reshape(-1)[:n]
         for bvh in self.bvhs:
-            t2, idx2 = bvh.trace(rays, any_hit=any_hit)
+            t2, idx2 = bvh.trace(rays, any_hit=any_hit, mode=mode)
             closer = t2 < t
             t = jnp.where(closer, t2, t)
             idx = jnp.where(closer, idx2, idx)
         return t, idx
 
-    def occluded(self, rays: ray_mod.RayBatch):
-        t, _ = self.trace(rays, any_hit=True)
+    def occluded(self, rays: ray_mod.RayBatch, mode=None):
+        t, _ = self.trace(rays, any_hit=True, mode=mode)
         return jnp.isfinite(t)

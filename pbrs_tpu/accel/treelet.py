@@ -464,6 +464,170 @@ def _treelet_row_resident(boxes_ref, cboxes_ref, tab_ref,
         idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
 
 
+def _rowdense_kernel(boxes_ref, cboxes_ref, tab_ref,
+                     ox, oy, oz, dx, dy, dz, tmax,
+                     t_out, idx_out, rowkey_s, *,
+                     kind, t_pad, t_count, treelet, any_hit,
+                     rays=RAYS, subrows=SUBROWS, debug_rounds=False):
+    for r in range(subrows):
+        _rowdense_row(boxes_ref, cboxes_ref, tab_ref,
+                      ox, oy, oz, dx, dy, dz, tmax, t_out, idx_out,
+                      rowkey_s,
+                      r, kind=kind, t_pad=t_pad, t_count=t_count,
+                      treelet=treelet, any_hit=any_hit, rays=rays,
+                      debug_rounds=debug_rounds)
+
+
+def _rowdense_row(boxes_ref, cboxes_ref, tab_ref,
+                  ox, oy, oz, dx, dy, dz, tmax,
+                  t_out, idx_out, rowkey_s,
+                  r, *, kind, t_pad, t_count, treelet, any_hit,
+                  rays=RAYS, debug_rounds=False):
+    """Row-shared dense traversal: the whole 1024-lane row visits ONE
+    treelet per round, chosen by the row-minimum entry key, and tests its
+    64 slots densely on the VPU.
+
+    The per-lane one-hot kernels gather a DIFFERENT treelet per lane each
+    round, which costs a [3*F*treelet, CHUNK] x [CHUNK, rays] MXU matmul —
+    ~221k MACs per lane per round (ARCHITECTURE.md section 10 roofline).
+    When lanes are coherent they mostly want the SAME treelet, so the
+    gather collapses to one column: a [3*F*treelet, t_pad] x [t_pad, 1]
+    one-hot (same bit-exact bf16 3-split reconstruction, ~1/rays of the
+    MACs) plus the identical dense [treelet, rays] VPU test. Bookkeeping
+    is a [t_pad, 1] row-key vector: key = min over lanes of the lane's
+    quantized t_enter with the treelet id in the low bits (distinct,
+    int-comparable, a conservative lower bound — so front-to-back order
+    and the termination test stay exact). The row stops when the nearest
+    unvisited treelet cannot beat the row's farthest unresolved lane.
+
+    Coherent rows visit ~(per-ray round count) treelets total; fully
+    incoherent rows degrade toward the row's union of treelets, so the
+    caller picks this mode for primary/shadow-like batches (or sorts
+    lanes first) and the per-lane kernels otherwise.
+    """
+    nf = N_FIELDS[kind]
+    gbits = max(1, int(np.ceil(np.log2(max(t_pad, 2)))))
+    gmask = np.int32((1 << gbits) - 1)
+    rox, roy, roz = ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :]  # [1, rays]
+    rdx, rdy, rdz = dx[r:r+1, :], dy[r:r+1, :], dz[r:r+1, :]
+    t_max = tmax[r:r+1, :]
+    t_out[r:r+1, :] = jnp.full((1, rays), jnp.inf, jnp.float32)
+    idx_out[r:r+1, :] = jnp.full((1, rays), -1, jnp.int32)
+    n_chunks = t_pad // CHUNK
+
+    inv_x = 1.0 / jnp.where(rdx == 0.0, 1e-30, rdx)
+    inv_y = 1.0 / jnp.where(rdy == 0.0, 1e-30, rdy)
+    inv_z = 1.0 / jnp.where(rdz == 0.0, 1e-30, rdz)
+
+    def slab(boxes):
+        """boxes [B, 8] vs the row's rays -> (t_enter, hit) [B, rays]."""
+        tx0 = (boxes[:, 0:1] - rox) * inv_x
+        tx1 = (boxes[:, 3:4] - rox) * inv_x
+        ty0 = (boxes[:, 1:2] - roy) * inv_y
+        ty1 = (boxes[:, 4:5] - roy) * inv_y
+        tz0 = (boxes[:, 2:3] - roz) * inv_z
+        tz1 = (boxes[:, 5:6] - roz) * inv_z
+        t_enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1))
+        t_exit = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1))
+        hit = (t_enter <= t_exit) & (t_exit >= T_MIN) & (t_enter < t_max)
+        return t_enter, hit
+
+    # Chunk-box prefilter ([n_chunks, rays], tiny): rows that miss every
+    # chunk write misses and skip init + visits entirely — with Morton
+    # lane order most camera rows never touch a given family's geometry.
+    _, chit = slab(cboxes_ref[...])
+    chunk_any = jnp.any(chit, axis=1)  # [n_chunks]
+
+    @pl.when((jnp.any(t_max > 0.0)) & jnp.any(chunk_any))
+    def _run_row():
+
+        def chunk_keys(k):
+            boxes = boxes_ref[k * CHUNK:(k + 1) * CHUNK, :]
+            t_enter, hit_box = slab(boxes)
+            gid = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, rays), 0)
+                   + k * CHUNK)
+            hit_box = hit_box & (gid < t_count)
+            te = jnp.clip(t_enter, 0.0, BIG)
+            kbits = jax.lax.bitcast_convert_type(te, jnp.int32)
+            keys = jnp.where(hit_box, (kbits & ~gmask) | gid, INT_MAX)
+            return jnp.min(keys, axis=1, keepdims=True)  # [CHUNK, 1]
+
+        def row_keys():
+            if n_chunks == 1:
+                return chunk_keys(0)
+            rowkey_s[...] = jnp.full((t_pad, 1), INT_MAX, jnp.int32)
+            for k in range(n_chunks):
+                @pl.when(chunk_any[k])
+                def _fill(k=k):
+                    rowkey_s[k * CHUNK:(k + 1) * CHUNK, :] = chunk_keys(k)
+            return rowkey_s[...]  # [t_pad, 1]
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (treelet, rays), 0)
+        gid_col = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
+        live0 = t_max > 0.0
+
+        def cond(state):
+            rowkey, t_best, idx_best, nround = state
+            kmin = jnp.min(rowkey, axis=0, keepdims=True)  # [1, 1]
+            t_lb = jax.lax.bitcast_convert_type(kmin & ~gmask, jnp.float32)
+            go = jnp.any((kmin != INT_MAX)
+                         & (t_lb < jnp.max(t_best)))
+            if any_hit:
+                go = go & jnp.any((idx_best < 0) & live0)
+            # Hard bound: every round clears one treelet, so > t_count
+            # rounds is impossible — the guard makes that a guarantee the
+            # hardware enforces even under a miscompile (a wedged while
+            # loop takes the whole shared chip down with it).
+            return go & (nround < t_count + 1)
+
+        def body(state):
+            rowkey, t_best, idx_best, nround = state
+            kmin = jnp.min(rowkey, axis=0, keepdims=True)  # [1, 1]
+            tid = kmin & gmask
+            onehot = (gid_col == tid).astype(jnp.bfloat16)  # [t_pad, 1]
+            rowkey = jnp.where(gid_col == tid, INT_MAX, rowkey)
+            g3 = mm(tab_ref[...], onehot)  # [3*nf*treelet, 1]
+            f3 = nf * treelet
+            g = g3[0:f3] + g3[f3:2 * f3] + g3[2 * f3:]  # exact f32
+            t_c, ok = _test_prims(
+                kind, g, nf, treelet, rox, roy, roz, rdx, rdy, rdz, t_best)
+            t_c = jnp.where(ok, t_c, BIG)
+            tmin = jnp.min(t_c, axis=0, keepdims=True)  # [1, rays]
+            slot_sel = jnp.min(
+                jnp.where(t_c == tmin, slot_iota, INT_MAX),
+                axis=0, keepdims=True)
+            packed = tid * treelet + slot_sel
+            closer = tmin < t_best
+            if any_hit:
+                closer = closer & (idx_best < 0)
+            t_best = jnp.where(closer, tmin, t_best)
+            idx_best = jnp.where(closer, packed, idx_best)
+            return rowkey, t_best, idx_best, nround + 1.0
+
+        t_best0 = jnp.where(live0, t_max, -BIG)
+        idx0 = jnp.full((1, rays), -1, jnp.int32)
+        _, t_best, idx_best, nround = jax.lax.while_loop(
+            cond, body,
+            (row_keys(), t_best0, idx0, jnp.zeros((), jnp.float32)))
+        miss = idx_best < 0
+        if debug_rounds:
+            t_out[r:r+1, :] = jnp.broadcast_to(nround * 100.0, (1, rays))
+            idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
+            return
+        t_out[r:r+1, :] = jnp.where(miss, jnp.inf, t_best)
+        idx_out[r:r+1, :] = jnp.where(miss, -1, idx_best)
+
+
 def _treelet_row(boxes_ref, cboxes_ref, tab_ref,
                  ox, oy, oz, dx, dy, dz, tmax,
                  t_out, idx_out, tc, sems,
@@ -708,6 +872,33 @@ def _trace_blocks(boxes, cboxes, table, ray_comps, kind, n_chunks, t_count,
     )(boxes, cboxes, table, *ray_comps)
 
 
+def _trace_blocks_rowdense(boxes, cboxes, table_flat, ray_comps, kind,
+                           t_pad, t_count, nf, treelet, any_hit=False,
+                           rays=RAYS, subrows=SUBROWS, interpret=False,
+                           debug_rounds=False):
+    blocks = ray_comps[0].shape[0] // subrows
+    kernel = functools.partial(
+        _rowdense_kernel, kind=kind, t_pad=t_pad, t_count=t_count,
+        treelet=treelet, any_hit=any_hit, rays=rays, subrows=subrows,
+        debug_rounds=debug_rounds)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    rblk = lambda: pl.BlockSpec((subrows, rays), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    rows = blocks * subrows
+    return pl.pallas_call(
+        kernel,
+        grid=(blocks,),
+        in_specs=[vmem(), vmem(), vmem()] + [rblk()] * 7,
+        out_specs=(rblk(), rblk()),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, rays), jnp.float32),
+            jax.ShapeDtypeStruct((rows, rays), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((t_pad, 1), jnp.int32)],
+        interpret=interpret,
+    )(boxes, cboxes, table_flat, *ray_comps)
+
+
 class TreeletTracer:
     """Closest-hit / any-hit over one primitive family via MXU gathers."""
 
@@ -732,6 +923,20 @@ class TreeletTracer:
         self.slot_gid = jnp.where(slot_prim >= 0, slot_prim + global_base,
                                   -1).astype(jnp.int32)
         self.t_pad = self.n_chunks * CHUNK
+        # Row-dense mode (one shared treelet visit per 1024-lane row; see
+        # _rowdense_row): needs the whole stacked table VMEM-resident.
+        nf = N_FIELDS[kind]
+        flat_bytes = 3 * nf * treelet * self.t_pad * 2
+        self.rowdense_ok = flat_bytes <= (6 << 20)
+        if self.rowdense_ok:
+            # [n_chunks, 3*nf*treelet, CHUNK] -> [3*nf*treelet, t_pad]
+            tbl = np.asarray(self.table)
+            self.table_flat = jnp.asarray(
+                np.ascontiguousarray(
+                    tbl.transpose(1, 0, 2).reshape(
+                        3 * nf * treelet, self.t_pad)))
+        else:
+            self.table_flat = None
 
     def _components(self, ray_batch):
         n = ray_batch.origin.shape[0]
@@ -778,11 +983,13 @@ class TreeletTracer:
         key = (morton << 5) | (octant << 2) | major
         return jnp.where(rays.t_max > 0.0, key, jnp.int32(2**30))
 
-    def trace(self, rays, any_hit=False, sort=False):
+    def trace(self, rays, any_hit=False, sort=False, mode=None):
         # sort: morton/octant ray reordering. Measured a net LOSS on v5e
-        # (XLA argsort + gathers cost more than the round-count saving:
-        # coherent and incoherent batches trace within ~10% of each other
-        # already), so it defaults off; kept for future radix-sort kernels.
+        # for the per-lane kernels (XLA argsort + gathers cost more than
+        # the round-count saving), but it makes rows coherent for the
+        # row-dense mode, whose cost IS the row's treelet union.
+        # mode: None/'onehot' per-lane gather kernels; 'rowdense' the
+        # row-shared dense kernel (_rowdense_row) when the table fits.
         n = rays.origin.shape[0]
         if sort:
             perm = jnp.argsort(self._sort_key(rays))
@@ -790,12 +997,21 @@ class TreeletTracer:
                 origin=rays.origin[perm], dir=rays.dir[perm],
                 t_max=rays.t_max[perm])
         comps, n = self._components(rays)
-        t, packed = _trace_blocks(
-            self.boxes, self.cboxes, self.table, tuple(comps),
-            kind=self.kind, n_chunks=self.n_chunks, t_count=self.t_count,
-            nf=N_FIELDS[self.kind], treelet=self.treelet,
-            any_hit=any_hit, rays=self.rays, subrows=self.subrows,
-            resident=self.resident, interpret=self.interpret)
+        if mode == "rowdense" and self.rowdense_ok:
+            t, packed = _trace_blocks_rowdense(
+                self.boxes, self.cboxes, self.table_flat, tuple(comps),
+                kind=self.kind, t_pad=self.t_pad, t_count=self.t_count,
+                nf=N_FIELDS[self.kind], treelet=self.treelet,
+                any_hit=any_hit, rays=self.rays, subrows=self.subrows,
+                interpret=self.interpret)
+        else:
+            t, packed = _trace_blocks(
+                self.boxes, self.cboxes, self.table, tuple(comps),
+                kind=self.kind, n_chunks=self.n_chunks,
+                t_count=self.t_count,
+                nf=N_FIELDS[self.kind], treelet=self.treelet,
+                any_hit=any_hit, rays=self.rays, subrows=self.subrows,
+                resident=self.resident, interpret=self.interpret)
         t = t.reshape(-1)[:n]
         packed = packed.reshape(-1)[:n]
         # (treelet, slot) -> global prim id; a small XLA gather outside the

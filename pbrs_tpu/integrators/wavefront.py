@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import radiometry
 from ..bxdf import bsdf as bsdf_mod
@@ -64,10 +65,40 @@ def camera_rays_weighted(scene, sampler, pixel_idx, sample_idx, msaa,
     return rays, weight
 
 
+def morton_pixel_order(width, height):
+    """Pixel ids in Morton (Z-curve) order — host-side, O(n).
+
+    Lane order is estimator-neutral (samples are keyed by pixel id), but
+    trace cost is not: the treelet tracers' row-shared work scales with
+    the treelet UNION of each 1024-lane row. Scanline rows span the whole
+    image width; Morton rows cover ~32x32 tiles, collapsing the union to
+    near the per-ray visit count (measured mesh_ball camera rays: mean
+    row visits 19.3 -> 2.0, one-hot trace 25.6 -> 44.1 Mrays/s)."""
+    w2 = 1 << int(np.ceil(np.log2(max(width, 1))))
+    h2 = 1 << int(np.ceil(np.log2(max(height, 1))))
+    s = max(w2, h2)
+    xs, ys = np.meshgrid(np.arange(s, dtype=np.int64),
+                         np.arange(s, dtype=np.int64), indexing="xy")
+
+    def part1by1(v):
+        v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+        v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v << 2)) & 0x3333333333333333
+        v = (v | (v << 1)) & 0x5555555555555555
+        return v
+
+    code = (part1by1(xs.reshape(-1)) | (part1by1(ys.reshape(-1)) << 1))
+    order = np.argsort(code, kind="stable")
+    xs, ys = xs.reshape(-1)[order], ys.reshape(-1)[order]
+    keep = (xs < width) & (ys < height)
+    return (ys[keep] * width + xs[keep]).astype(np.int32)
+
+
 def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
                   rr_start=3, intersect_fn=None, occlude_fn=None,
                   use_nee=True, return_ray_count=False,
-                  shrink_schedule=None):
+                  shrink_schedule=None, sort_blocks=True):
     """Estimate radiance along camera rays. Returns [N,3].
 
     Every bounce, all lanes: closest-hit, emission on camera/post-delta
@@ -88,6 +119,7 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
             tuple(shrink_schedule), max_depth=max_depth, rr_start=rr_start,
             intersect_fn=intersect_fn, occlude_fn=occlude_fn,
             use_nee=use_nee, return_ray_count=return_ray_count,
+            sort_blocks=sort_blocks,
         )
 
     n = rays.origin.shape[0]
@@ -289,10 +321,81 @@ def _unpack_state(s):
     return rays, beta, pix, sid, orig, specular, alive
 
 
+def _block_sort_key(rays, G):
+    """Spatial key per G-lane block (first lane's origin morton, 6 bits
+    per axis over the batch's own bounds, then direction octant)."""
+    o = rays.origin[0::G]
+    d = rays.dir[0::G]
+    lo = jnp.min(o, axis=0)
+    hi = jnp.max(o, axis=0)
+    inv = 63.0 / jnp.maximum(hi - lo, 1e-30)
+    q = jnp.clip(((o - lo) * inv).astype(jnp.int32), 0, 63)
+
+    def part1by2(x):
+        x = (x | (x << 8)) & 0x0300F
+        x = (x | (x << 4)) & 0x030C3
+        x = (x | (x << 2)) & 0x09249
+        return x
+
+    morton = (part1by2(q[:, 0]) | (part1by2(q[:, 1]) << 1)
+              | (part1by2(q[:, 2]) << 2))
+    octant = ((d[:, 0] < 0).astype(jnp.int32)
+              | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+              | ((d[:, 2] < 0).astype(jnp.int32) << 2))
+    return (morton << 3) | octant
+
+
+def block_compact(rays, beta, pix, sid, orig, specular, alive, cap, u_c,
+                  sort_blocks=True):
+    """Capacity roulette + one packed block row-gather to `cap` lanes.
+
+    Roulette: keep probability p = min(1, 0.95 capB/aliveB) per
+    COMPACT_BLOCK block (one uniform from the block's first lane),
+    throughput scaled 1/p — estimator-preserving like Russian roulette;
+    with schedule margins p == 1 in practice. sort_blocks orders the
+    surviving blocks by (origin morton, direction octant) of their first
+    lane: the gather costs the same, and compacted rows become spatially
+    coherent — what the row-shared treelet kernel wants."""
+    G = COMPACT_BLOCK
+    cur = rays.origin.shape[0]
+    curB, capB = cur // G, cap // G
+    balive = alive.reshape(curB, G).any(axis=1)
+    nb = jnp.sum(balive.astype(jnp.int32)).astype(jnp.float32)
+    p = jnp.minimum(1.0, 0.95 * capB / jnp.maximum(nb, 1.0))
+    keepb = balive & (u_c.reshape(curB, G)[:, 0] < p)
+    beta = beta * jnp.where(jnp.repeat(keepb, G), 1.0 / p, 1.0)[:, None]
+    n_keep = jnp.sum(keepb.astype(jnp.int32))
+    if sort_blocks:
+        skey = _block_sort_key(rays, G)
+        skey = jnp.where(keepb, skey, jnp.int32(2**30))
+        selb = jnp.argsort(skey)[:capB].astype(jnp.int32)
+    else:
+        # Stable (original-order) compaction: one cumsum+scatter.
+        ka = keepb.astype(jnp.int32)
+        dest = jnp.cumsum(ka) - 1
+        iota = jnp.arange(curB, dtype=jnp.int32)
+        selb = jnp.zeros(capB, jnp.int32).at[
+            jnp.where(keepb, dest, capB)
+        ].set(iota, mode="drop")
+    packed = _pack_state(rays, beta, pix, sid, orig, specular,
+                         alive).reshape(curB, G * 15)
+    sp = jnp.take(packed, selb, axis=0).reshape(capB * G, 15)
+    rays, beta, pix, sid, orig, specular, lane_alive = _unpack_state(sp)
+    if sort_blocks:
+        slot_alive = jnp.repeat(jnp.take(keepb, selb, axis=0), G)
+    else:
+        slot_alive = jnp.repeat(
+            jnp.arange(capB, dtype=jnp.int32) < n_keep, G)
+    alive = lane_alive & slot_alive
+    rays = rays.replace(t_max=jnp.where(alive, rays.t_max, 0.0))
+    return rays, beta, pix, sid, orig, specular, alive
+
+
 def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
                             schedule, max_depth=5, rr_start=3,
                             intersect_fn=None, occlude_fn=None,
-                            use_nee=True, return_ray_count=False):
+                            use_nee=True, return_ray_count=False,
+                            sort_blocks=True):
     """Masked bounce loop with a static shrink schedule.
 
     The TPU wavefront's cost is lane-count-proportional at every stage
@@ -342,34 +445,11 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
         cap -= cap % G
         cur = rays.origin.shape[0]
         if cap < cur:
-            # --- block capacity roulette (p==1 unless margin blown) ---
-            curB, capB = cur // G, cap // G
-            balive = alive.reshape(curB, G).any(axis=1)
-            nb = jnp.sum(balive.astype(jnp.int32)).astype(jnp.float32)
-            p = jnp.minimum(1.0, 0.95 * capB / jnp.maximum(nb, 1.0))
-            # One uniform per block: the block's first lane's stream.
             u_c = sampler.u1(pix, sid, bounce, smp.DIM_COMPACT)
-            keepb = balive & (u_c.reshape(curB, G)[:, 0] < p)
-            beta = beta * jnp.where(
-                jnp.repeat(keepb, G), 1.0 / p, 1.0)[:, None]
-            # --- stable block compaction to the static capacity ---
-            ka = keepb.astype(jnp.int32)
-            dest = jnp.cumsum(ka) - 1
-            n_keep = jnp.sum(ka)
-            iota = jnp.arange(curB, dtype=jnp.int32)
-            selb = jnp.zeros(capB, jnp.int32).at[
-                jnp.where(keepb, dest, capB)
-            ].set(iota, mode="drop")
-            packed = _pack_state(rays, beta, pix, sid, orig, specular,
-                                 alive).reshape(curB, G * 15)
-            sp = jnp.take(packed, selb, axis=0).reshape(capB * G, 15)
             (rays, beta, pix, sid, orig, specular,
-             lane_alive) = _unpack_state(sp)
-            slot_alive = jnp.repeat(
-                jnp.arange(capB, dtype=jnp.int32) < n_keep, G)
-            alive = lane_alive & slot_alive
-            rays = rays.replace(
-                t_max=jnp.where(alive, rays.t_max, 0.0))
+             alive) = block_compact(rays, beta, pix, sid, orig, specular,
+                                    alive, cap, u_c,
+                                    sort_blocks=sort_blocks)
 
         ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
         hit = intersect_fn(rays)
@@ -450,7 +530,7 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
 def render_samples(scene, sampler, pixel_idx, sample_idx, max_depth=5, msaa=2,
                    intersect_fn=None, occlude_fn=None, use_nee=True,
                    return_ray_count=False, filter_inv_cdf=None,
-                   shrink_schedule=None):
+                   shrink_schedule=None, sort_blocks=True):
     """Camera rays + path integration for a (pixel, sample) batch."""
     rays, weight = camera_rays_weighted(
         scene, sampler, pixel_idx, sample_idx, msaa, filter_inv_cdf
@@ -459,6 +539,7 @@ def render_samples(scene, sampler, pixel_idx, sample_idx, max_depth=5, msaa=2,
         scene, rays, sampler, pixel_idx, sample_idx, max_depth=max_depth,
         intersect_fn=intersect_fn, occlude_fn=occlude_fn, use_nee=use_nee,
         return_ray_count=return_ray_count, shrink_schedule=shrink_schedule,
+        sort_blocks=sort_blocks,
     )
     if weight is None:
         return out

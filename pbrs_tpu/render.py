@@ -64,6 +64,24 @@ class Film:
         )
 
 
+
+def _measured_schedule(scene, sampler, w, h, chunk, spp_total, max_depth,
+                       msaa, isect_fn):
+    """Pilot-measure per-bounce covered-lane counts at the REAL launch
+    lane count (chunk pixels x samples_per_launch) and derive a static
+    shrink schedule (wavefront.auto_schedule)."""
+    n = w * h
+    samples_per_launch = max(1, min(spp_total, chunk // max(n, 1)))
+    order = wavefront.morton_pixel_order(w, h)
+    pix0 = np.tile(order[:min(n, chunk)], samples_per_launch)
+    sid0 = np.repeat(np.arange(samples_per_launch, dtype=np.int32),
+                     min(n, chunk))
+    counts = np.asarray(jax.jit(lambda: wavefront.measure_alive(
+        scene, sampler, jnp.asarray(pix0), jnp.asarray(sid0),
+        max_depth=max_depth, msaa=msaa, intersect_fn=isect_fn))())
+    return wavefront.auto_schedule(counts, pix0.shape[0])
+
+
 def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "path",
                  seed: int = 0, chunk_pixels: int | None = None,
                  progress: bool = False, film: Film | None = None,
@@ -72,11 +90,19 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
                  use_pallas: bool | None = None,
                  pixel_filter: tuple | None = None,
                  profile_dir: str | None = None,
-                 sampler_kind: str = "pcg"):
+                 sampler_kind: str = "pcg",
+                 trace_mode: str | None = None,
+                 compact: bool = False):
     """Render the scene camera view. Returns (image [H,W,3], RenderStats).
 
     spp is rounded up to a square (msaa² stratification, matching the
     reference's msaa semantics, reference src/main.rs:197-203).
+
+    trace_mode: treelet kernel selection ('rowdense' for the row-shared
+    dense visits — pairs with the Morton lane order this driver always
+    uses; None for the per-lane one-hot kernels). compact: shrink the
+    bounce wavefront with a measured per-depth schedule + spatial
+    block re-sort (estimator-identical; see wavefront.block_compact).
     """
     cam = scene.camera
     w, h = cam.width, cam.height
@@ -93,7 +119,8 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
     n_chunks = (n + chunk - 1) // chunk
     pad_n = n_chunks * chunk
 
-    isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene, use_pallas)
+    isect_fn, occl_fn = trace_dispatch.make_trace_fns(
+        scene, use_pallas, trace_mode=trace_mode)
 
     use_fused = False
     use_fused_sl = False
@@ -137,15 +164,39 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
         else:
             from .accel import fused_wave as fw
 
-            fused = fw.FusedWaveIntegrator(scene, use_pallas=use_pallas)
+            fused = fw.FusedWaveIntegrator(scene, use_pallas=use_pallas,
+                                           trace_mode=trace_mode)
+
+        wave_sched = None
+        if compact and isinstance(fused, fw.FusedWaveIntegrator) \
+                and max_depth > 1:
+            wave_sched = _measured_schedule(
+                scene, sampler, w, h, chunk, spp_total, max_depth, msaa,
+                isect_fn)
 
         def kernel(scene_, sampler_, pix, s, **_kw):
+            if wave_sched is not None and pix.shape[0] == wave_sched[0]:
+                return fused.render_samples_compacted(
+                    sampler_, pix, s, wave_sched, max_depth=max_depth,
+                    msaa=msaa)
             return fused.render_samples(sampler_, pix, s,
                                         max_depth=max_depth, msaa=msaa)
     elif integrator == "path":
-        kernel = partial(wavefront.render_samples, max_depth=max_depth,
-                         msaa=msaa, use_nee=use_nee, intersect_fn=isect_fn,
-                         occlude_fn=occl_fn, filter_inv_cdf=filter_inv)
+        gen_sched = None
+        if compact and max_depth > 1:
+            gen_sched = _measured_schedule(
+                scene, sampler, w, h, chunk, spp_total, max_depth, msaa,
+                isect_fn)
+
+        def kernel(scene_, sampler_, pix, s, **_kw):
+            sched = gen_sched
+            if sched is not None and pix.shape[0] != sched[0]:
+                sched = None  # odd-sized tail chunk: masked loop
+            return wavefront.render_samples(
+                scene_, sampler_, pix, s, max_depth=max_depth, msaa=msaa,
+                use_nee=use_nee, intersect_fn=isect_fn,
+                occlude_fn=occl_fn, filter_inv_cdf=filter_inv,
+                shrink_schedule=sched)
     elif integrator == "direct":
         def kernel(scene, sampler, pix, s, **_kw):
             rays = wavefront.camera_rays(scene, sampler, pix, s, msaa)
@@ -177,7 +228,12 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
     jitted = jax.jit(_step, static_argnames=("batch",))
 
     stats = RenderStats(spp=spp_total)
-    pixel_all = np.arange(pad_n, dtype=np.int32) % n  # pad wraps, cheap
+    # Morton (Z-curve) lane order: estimator-neutral, but keeps each trace
+    # row's pixels in a compact tile so the treelet tracers' row-shared
+    # work stays small (see wavefront.morton_pixel_order).
+    order = wavefront.morton_pixel_order(w, h)
+    pixel_all = np.concatenate([order, order[:pad_n - n]]) \
+        if pad_n > n else order
     # Pack multiple samples into one launch when the frame is small: the
     # chip wants ~1M lanes in flight.
     samples_per_launch = max(1, min(spp_total, chunk // max(n, 1)))
@@ -191,8 +247,9 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
         for c, acc in enumerate(dev_accum):
             if acc is None:
                 continue
-            lo, hi = c * chunk, min((c + 1) * chunk, n)
-            film.accum[lo:hi] += np.asarray(acc)[: hi - lo]
+            nv = min(chunk, n - c * chunk)  # pad lanes (dup ids) dropped
+            ids = pixel_all[c * chunk:c * chunk + nv]
+            film.accum[ids] += np.asarray(acc)[:nv]
             dev_accum[c] = None
 
     pix_dev = [

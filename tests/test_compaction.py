@@ -27,7 +27,7 @@ def _small_scene():
     ))
 
 
-def test_compacted_matches_masked():
+def _matches_masked(sort_blocks, depth=5):
     scene = _small_scene()
     sampler = smp.PCGSampler(7)
     n = 64 * 48
@@ -35,19 +35,31 @@ def test_compacted_matches_masked():
     sid = jnp.zeros(n, jnp.int32)
 
     ref = jax.jit(lambda: wavefront.render_samples(
-        scene, sampler, pix, sid, max_depth=5, msaa=2))()
+        scene, sampler, pix, sid, max_depth=depth, msaa=2))()
 
     counts = np.asarray(jax.jit(lambda: wavefront.measure_alive(
-        scene, sampler, pix, sid, max_depth=5, msaa=2))())
+        scene, sampler, pix, sid, max_depth=depth, msaa=2))())
     sched = wavefront.auto_schedule(counts, n, min_cap=256)
     assert sched[0] == n
     assert any(c < n for c in sched[1:]), (sched, counts)
 
     got = jax.jit(lambda: wavefront.render_samples(
-        scene, sampler, pix, sid, max_depth=5, msaa=2,
-        shrink_schedule=sched))()
+        scene, sampler, pix, sid, max_depth=depth, msaa=2,
+        shrink_schedule=sched, sort_blocks=sort_blocks))()
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_compacted_matches_masked():
+    _matches_masked(sort_blocks=False)
+
+
+@pytest.mark.slow
+def test_compacted_sorted_matches_masked():
+    # The spatial block re-sort changes lane placement only; the banked
+    # image must be identical. (Slow: argsort compiles per unrolled
+    # bounce on the 1-core CPU mesh.)
+    _matches_masked(sort_blocks=True)
 
 
 def test_capacity_roulette_unbiased():
@@ -65,7 +77,7 @@ def test_capacity_roulette_unbiased():
         acc = 0.0
         f = jax.jit(lambda s: jnp.sum(wavefront.render_samples(
             scene, sampler, pix, jnp.full(n, s, jnp.int32), max_depth=5,
-            msaa=2, shrink_schedule=schedule)))
+            msaa=2, shrink_schedule=schedule, sort_blocks=False)))
         for s in range(samples):
             acc += float(f(s))
         return acc / samples
@@ -83,3 +95,34 @@ def test_auto_schedule_shapes():
     assert s[0] == 1024
     assert all(b & (b - 1) == 0 for b in s[1:])
     assert all(s[i + 1] <= s[i] for i in range(len(s) - 1))
+
+
+def test_wave_compacted_matches_masked():
+    """FusedWaveIntegrator's compacted driver == its masked fori loop
+    (same kernel, same RNG streams; compaction only re-banks lanes)."""
+    from pbrs_tpu.accel import fused_wave as fw
+
+    scene = _small_scene()
+    assert fw.scene_supports_wave(scene)
+    integ = fw.FusedWaveIntegrator(scene, interpret=True, use_pallas=False)
+    sampler = smp.PCGSampler(11)
+    n = 64 * 48
+    pix = jnp.arange(n, dtype=jnp.int32)
+    sid = jnp.zeros(n, jnp.int32)
+
+    ref = jax.jit(lambda: integ.render_samples(
+        sampler, pix, sid, max_depth=5, msaa=2))()
+
+    from pbrs_tpu.accel import dispatch as td
+    isect_fn, _ = td.make_trace_fns(scene, use_pallas=False)
+    counts = np.asarray(jax.jit(lambda: wavefront.measure_alive(
+        scene, sampler, pix, sid, max_depth=5, msaa=2,
+        intersect_fn=isect_fn))())
+    sched = wavefront.auto_schedule(counts, n, min_cap=256)
+    assert any(c < n for c in sched[1:]), (sched, counts)
+
+    got = jax.jit(lambda: integ.render_samples_compacted(
+        sampler, pix, sid, sched, max_depth=5, msaa=2,
+        sort_blocks=False))()
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               atol=1e-5, rtol=1e-4)
