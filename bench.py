@@ -8,6 +8,7 @@ closest-hit rays + alive shadow rays, summed on-device.
 """
 
 import json
+import subprocess
 import sys
 import time
 
@@ -18,8 +19,43 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
+# First TPU compile through the axon tunnel can take ~40 s; a wedged chip
+# blocks backend init forever.  Probe in a bounded subprocess so a sick
+# chip yields a parseable record instead of a driver-visible hang/traceback
+# (round-3 post-mortem: BENCH_r03 rc=1, no perf number recorded).
+PROBE_TIMEOUT_S = 240
+
+
+def probe_backend():
+    """Return None if the backend is healthy, else an error string."""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "d = jax.devices();"
+        "x = jnp.ones((128, 128));"
+        "print(float((x @ x).sum()), d[0].device_kind)"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=PROBE_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return "tpu_unavailable: backend init timed out (chip wedged?)"
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-1:] or ["unknown"]
+        return f"tpu_unavailable: {tail[0][:200]}"
+    return None
+
 
 def main():
+    err = probe_backend()
+    if err is not None:
+        print(json.dumps({
+            "metric": "cornell_box_1024_path8_throughput",
+            "value": None, "unit": "Mrays/s/chip", "vs_baseline": None,
+            "error": err,
+        }))
+        return 0
     from pbrs_tpu.accel import dispatch as trace_dispatch
     from pbrs_tpu.accel import fused_kernel as fk
     from pbrs_tpu.core import sampler as smp

@@ -33,7 +33,12 @@ def _ellipsoid_scene(scale=(2.0, 1.0, 1.0)):
     master.add_sphere((0, 0, 0), 1.0, m)
     b.add_instance_group(master, [tf.scale(scale)])
     b.lights.add_point((0, 5, 0), (50.0, 50.0, 50.0))
-    b.camera = cam_mod.make_camera((16, 16), 45.0)
+    # Camera OUTSIDE the ellipsoid, looking at its lit (upper) side.  With
+    # the camera at the origin (inside), the round-3 horizon-sidedness fix
+    # correctly renders black, which made the sharded-vs-single comparison
+    # below vacuous (round-3 verdict, weak #2).
+    b.camera = cam_mod.looking_at(
+        cam_mod.make_camera((16, 16), 45.0), (0, 4, 6), (0, 0, 0), (0, 1, 0))
     return b.build()
 
 
