@@ -230,15 +230,20 @@ def _bvh_kernel(*refs, num_nodes, any_hit, kind=KIND_TRI):
         )
 
     def cond(state):
-        node, t_best, idx_best = state
+        node, t_best, idx_best, nstep = state
         live = node < num_nodes
         if any_hit:
             unresolved = jnp.sum((idx_best < 0).astype(jnp.float32)) > 0.0
             live = live & unresolved
-        return live
+        # Hard bound: in a well-formed BVH both successors (node+1 and the
+        # skip pointer) are strictly greater than node, so the walk visits
+        # each node at most once. The cap turns that invariant into a
+        # hardware guarantee — a cyclic skip table (corruption/miscompile)
+        # must terminate rather than wedge the shared chip.
+        return live & (nstep < num_nodes + 1)
 
     def body(state):
-        node, t_best, idx_best = state
+        node, t_best, idx_best, nstep = state
         tx0 = (nbx[node] - rox) * inv_x
         tx1 = (nBx[node] - rox) * inv_x
         ty0 = (nby[node] - roy) * inv_y
@@ -274,11 +279,11 @@ def _bvh_kernel(*refs, num_nodes, any_hit, kind=KIND_TRI):
             take_leaf, do_leaf, lambda c: c, (t_best, idx_best)
         )
         nxt = jnp.where(wanted & (is_leaf == 0), node + 1, skip)
-        return nxt, t_best, idx_best
+        return nxt, t_best, idx_best, nstep + 1
 
     node0 = jnp.int32(0)
-    _, t_best, idx_best = jax.lax.while_loop(
-        cond, body, (node0, t_best0, idx0)
+    _, t_best, idx_best, _ = jax.lax.while_loop(
+        cond, body, (node0, t_best0, idx0, jnp.int32(0))
     )
     miss = t_best >= BIG
     t_out[...] = jnp.where(miss, jnp.inf, t_best)

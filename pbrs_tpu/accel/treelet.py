@@ -409,11 +409,20 @@ def _treelet_row_resident(boxes_ref, cboxes_ref, tab_ref,
         # Pallas while body do not persist across iterations). Marking uses a
         # full-plane where (the per-column min is unique), so no dynamic
         # update-slice is needed; the gather one-hot reads one CHUNK slice.
+        # Hard bound: every round clears >= 1 finite key from the plane
+        # (the taking lanes' per-column min), and the plane holds at most
+        # t_count keys per lane column — so t_count * rays rounds is
+        # impossible. The cap makes that a hardware-enforced guarantee:
+        # a runaway while loop wedges the whole shared chip (round-3
+        # post-mortem), so every device loop gets one.
+        round_cap = float(t_count) * float(rays) + float(UNROLL)
+
         def cond(state):
             keys, t_best, idx_best, nround = state
             kmin = jnp.min(keys, axis=0, keepdims=True)
-            return jnp.sum(
+            go = jnp.sum(
                 lane_alive(kmin, t_best, idx_best).astype(jnp.float32)) > 0.0
+            return go & (nround < round_cap)
 
         def body(state):
             keys, t_best, idx_best, nround = state
@@ -763,7 +772,11 @@ def _treelet_row(boxes_ref, cboxes_ref, tab_ref,
             rem = jnp.min(jnp.where(crow >= k, chunkmins, INT_MAX),
                           axis=0, keepdims=True)
             alive = lane_alive(rem, t_best, idx_best)
-            return jnp.sum(alive.astype(jnp.float32)) > 0.0
+            # Hard bound: k increments every iteration, so n_chunks
+            # iterations is the ceiling (shared-chip wedge guard; the
+            # alive test alone already implies it when crow is
+            # well-formed, the cap holds even when it is not).
+            return (jnp.sum(alive.astype(jnp.float32)) > 0.0) & (k < n_chunks)
 
         def outer_body(state):
             k, t_best, idx_best, nround, nchunk = state
@@ -781,14 +794,19 @@ def _treelet_row(boxes_ref, cboxes_ref, tab_ref,
                                     k * CHUNK)
                 cp.wait()
 
+                # Hard bound: every round clears one key per alive lane
+                # from the [CHUNK, rays] plane, so an alive lane exists
+                # for at most CHUNK rounds (wedge guard — see outer_cond).
                 def cond(istate):
-                    keys_c, t_best, idx_best, nround = istate
+                    keys_c, t_best, idx_best, nround, iround = istate
                     kmin = jnp.min(keys_c, axis=0, keepdims=True)
                     alive = lane_alive(kmin, t_best, idx_best)
-                    return jnp.sum(alive.astype(jnp.float32)) > 0.0
+                    return (jnp.sum(alive.astype(jnp.float32)) > 0.0) & (
+                        iround < float(CHUNK + UNROLL))
 
                 def body(istate):
-                    keys_c, t_best, idx_best, nround = istate
+                    keys_c, t_best, idx_best, nround, iround = istate
+                    iround = iround + 1.0
                     # Unrolled rounds with the alive mask frozen for the group:
                     # the next one-hot depends only on key marking (pure VPU),
                     # not on the previous resolve, so the UNROLL gathers
@@ -811,10 +829,12 @@ def _treelet_row(boxes_ref, cboxes_ref, tab_ref,
                             t_best, idx_best = resolve(*pending, t_best, idx_best)
                         pending = (alive, g, k * CHUNK + (kmin & LOCAL_MASK))
                     t_best, idx_best = resolve(*pending, t_best, idx_best)
-                    return keys_c, t_best, idx_best, nround
+                    return keys_c, t_best, idx_best, nround, iround
 
-                _, t_best, idx_best, nround = jax.lax.while_loop(
-                    cond, body, (keys_c, t_best, idx_best, nround))
+                _, t_best, idx_best, nround, _ = jax.lax.while_loop(
+                    cond, body,
+                    (keys_c, t_best, idx_best, nround,
+                     jnp.zeros((), jnp.float32)))
                 return t_best, idx_best, nround, nchunk
 
             t_best, idx_best, nround, nchunk = jax.lax.cond(

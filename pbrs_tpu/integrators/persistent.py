@@ -78,14 +78,22 @@ def render_tasks_persistent(scene, sampler, pixel_idx, sample_idx,
         out=jnp.zeros((n_tasks, 3), jnp.float32),
         next_task=jnp.int32(n_lanes),
         ray_count=jnp.zeros((), jnp.float32),
+        nstep=jnp.int32(0),
     )
 
     def lane_pix(task):
         t = jnp.clip(task, 0, n_tasks - 1)
         return pixel_idx[t], sample_idx[t]
 
+    # Hard bound: every iteration advances every active lane one bounce and
+    # the task queue is finite, so total iterations <= n_tasks * max_depth
+    # (reached only if lanes run strictly serially). The cap makes that a
+    # hardware guarantee — an XLA while loop that never exits wedges the
+    # shared chip just like a Pallas one (round-3 post-mortem).
+    step_cap = n_tasks * max_depth + 2
+
     def cond(s):
-        return jnp.any(s["task"] >= 0)
+        return jnp.any(s["task"] >= 0) & (s["nstep"] < step_cap)
 
     def body(s):
         task, bounce = s["task"], s["bounce"]
@@ -170,7 +178,7 @@ def render_tasks_persistent(scene, sampler, pixel_idx, sample_idx,
 
         return dict(task=task, bounce=bounce, rays=rays, beta=beta, rad=rad,
                     specular=specular, out=out, next_task=next_task,
-                    ray_count=s["ray_count"])
+                    ray_count=s["ray_count"], nstep=s["nstep"] + 1)
 
     state = jax.lax.while_loop(cond, body, state)
     if return_ray_count:

@@ -133,3 +133,23 @@ def test_native_builder_matches_numpy_validity():
     t_nat, t_py = np.asarray(t_nat), np.asarray(t_py)
     both_inf = np.isinf(t_nat) & np.isinf(t_py)
     assert np.mean(both_inf | np.isclose(t_nat, t_py, rtol=1e-4)) > 0.999
+
+
+def test_wedge_guard_poisoned_skip_terminates():
+    # Round-3 post-mortem: an unbounded device while loop wedges the whole
+    # shared chip. The BVH walk's hard step cap (nstep < num_nodes + 1)
+    # must terminate traversal even with a cyclic skip table. Poison every
+    # skip pointer back to the root and shoot rays that miss the root box:
+    # nxt = skip = 0 forever, so ONLY the cap can end the loop.
+    p0, p1, p2 = _mesh(1)
+    tracer = mesh_pallas.MeshBVHTracer(p0, p1, p2, global_base=0,
+                                       interpret=True)
+    arrs = list(tracer.node_arrays)
+    arrs[9] = jnp.zeros_like(arrs[9])  # nskip := 0 for every node
+    tracer.node_arrays = arrs
+    o = np.full((32, 3), 100.0, np.float32)
+    d = np.tile(np.array([[1.0, 0, 0]], np.float32), (32, 1))
+    rays = ray_mod.make_rays(jnp.asarray(o), jnp.asarray(d))
+    t, idx = tracer.trace(rays)
+    assert np.isinf(np.asarray(t)).all()
+    assert (np.asarray(idx) == -1).all()
