@@ -1,3 +1,6 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+import _chip_health  # noqa: F401  (aborts if the shared chip is sick)
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax

@@ -1,4 +1,7 @@
 """Per-phase profile of the interior scene's actual fused_wave bounce on TPU."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+import _chip_health  # noqa: F401  (aborts if the shared chip is sick)
 import time
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

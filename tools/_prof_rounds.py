@@ -5,6 +5,9 @@ Q1: how many gather rounds does each 1024-lane row run (mean/max), vs the
 Q2: what does one round cost (MXU matmul at kernel shape, measured alone)?
 Together these give the roofline: rays/s = 1024 / (rounds_row * t_round).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+import _chip_health  # noqa: F401  (aborts if the shared chip is sick)
 import time
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

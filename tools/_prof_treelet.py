@@ -1,4 +1,7 @@
 """Profile the treelet tracer on TPU: rounds, chunks, time per round."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+import _chip_health  # noqa: F401  (aborts if the shared chip is sick)
 import time
 import jax
 import jax.numpy as jnp

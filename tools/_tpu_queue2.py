@@ -2,6 +2,9 @@
 
 Uses Morton lane order throughout (the render paths now do the same).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+import _chip_health  # noqa: F401  (aborts if the shared chip is sick)
 import time
 
 import jax
