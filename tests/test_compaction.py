@@ -50,6 +50,7 @@ def _matches_masked(sort_blocks, depth=5):
                                atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_compacted_matches_masked():
     _matches_masked(sort_blocks=False)
 
@@ -62,6 +63,7 @@ def test_compacted_sorted_matches_masked():
     _matches_masked(sort_blocks=True)
 
 
+@pytest.mark.slow
 def test_capacity_roulette_unbiased():
     """Force overflow (cap far below alive count): the rouletted estimate
     must agree with the full one in expectation."""

@@ -118,6 +118,7 @@ def _shaped_lights_scene():
     return b.build()
 
 
+@pytest.mark.slow
 def test_shaped_lights_match_general_path():
     scene = _shaped_lights_scene()
     assert fsl.scene_supports_single_lobe(scene)
@@ -243,6 +244,7 @@ def _textured_scene():
     return b.build()
 
 
+@pytest.mark.slow
 def test_textured_matches_general_path():
     scene = _textured_scene()
     assert fsl.scene_supports_single_lobe(scene)

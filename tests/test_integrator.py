@@ -55,6 +55,7 @@ def test_cornell_colors_and_light(cornell32):
     assert 0.08 < img.mean() < 0.3
 
 
+@pytest.mark.slow
 def test_cornell_nee_matches_brute_force(cornell32):
     """NEE+MIS and naive BSDF-only path tracing must converge to the same
     image — the strongest unbiasedness check available without the

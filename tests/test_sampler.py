@@ -1,5 +1,6 @@
 """Statistical quality checks for the counter-based samplers."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -124,6 +125,7 @@ def test_sobol_beats_pcg_on_smooth_integrand():
     assert errs["sobol"] < errs["pcg"] / 20, errs
 
 
+@pytest.mark.slow
 def test_sobol_renders_cornell_consistently():
     """End-to-end: a tiny Cornell render with the Sobol sampler matches the
     PCG render's mean brightness (same estimator, different sampler)."""
