@@ -41,9 +41,6 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
         center=cam.center, orientation=cam.orientation,
         a=cam.a * scale_w, b=cam.b * scale_h, c=cam.c,
     ))
-    trace_mode = os.environ.get("PBRS_TRACE_MODE") or None
-    use_compact = os.environ.get("PBRS_COMPACT", "0") == "1"
-    isect_fn, occl_fn = td.make_trace_fns(scene, trace_mode=trace_mode)
     sampler = smp.PCGSampler(0)
     n = size[0] * size[1]
     msaa = max(1, int(round(spp ** 0.5)))
@@ -66,63 +63,18 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
         ).astype(jnp.int32)
 
     if integrator == "path":
-        from pbrs_tpu.accel import fused_kernel as fk
-        from pbrs_tpu.accel import fused_single_lobe as fsl
-        from pbrs_tpu.accel import fused_wave as fw
+        from pbrs_tpu import tuner
 
-        integ = None
-        if fk.scene_supports_fused(scene):
-            integ = fk.FusedDiffuseIntegrator(scene)
-        elif fsl.scene_supports_single_lobe(scene):
-            integ = fsl.FusedSingleLobeIntegrator(scene)
-        elif fw.scene_supports_wave(scene):
-            integ = fw.FusedWaveIntegrator(scene, trace_mode=trace_mode)
-        if integ is not None:
-            wave_sched = None
-            if use_compact and isinstance(integ, fw.FusedWaveIntegrator):
-                lanes0 = lanes_chunks[0]
-                counts = np.asarray(jax.jit(
-                    lambda: wavefront.measure_alive(
-                        scene, sampler, lanes0, sample_ids(0),
-                        max_depth=depth, msaa=msaa,
-                        intersect_fn=isect_fn))())
-                wave_sched = wavefront.auto_schedule(
-                    counts, lanes0.shape[0])
-                print(f"  wave compact schedule: {wave_sched}",
-                      file=sys.stderr)
+        # Pilot-measured configuration (integrator x trace mode x
+        # compaction) at this config's real launch shapes; env vars
+        # PBRS_TRACE_MODE / PBRS_COMPACT pin a variant for profiling.
+        tuned = tuner.tune(scene, sampler, lanes_chunks[0], sample_ids(0),
+                           depth=depth, msaa=msaa, verbose=True)
+        print(f"  tuned: {tuned.label}", file=sys.stderr, flush=True)
 
-            def step1(lanes, base):
-                if wave_sched is not None:
-                    rad, cnt = integ.render_samples_compacted(
-                        sampler, lanes, sample_ids(base), wave_sched,
-                        max_depth=depth, msaa=msaa, return_ray_count=True,
-                    )
-                else:
-                    rad, cnt = integ.render_samples(
-                        sampler, lanes, sample_ids(base), max_depth=depth,
-                        msaa=msaa, return_ray_count=True,
-                    )
-                return jnp.sum(rad), cnt
-        else:
-            sched = None
-            if use_compact:
-                lanes0 = lanes_chunks[0]
-                counts = np.asarray(jax.jit(
-                    lambda: wavefront.measure_alive(
-                        scene, sampler, lanes0, sample_ids(0),
-                        max_depth=depth, msaa=msaa,
-                        intersect_fn=isect_fn))())
-                sched = wavefront.auto_schedule(
-                    counts, lanes0.shape[0])
-                print(f"  compact schedule: {sched}", file=sys.stderr)
-
-            def step1(lanes, base):
-                rad, cnt = wavefront.render_samples(
-                    scene, sampler, lanes, sample_ids(base), max_depth=depth,
-                    msaa=msaa, intersect_fn=isect_fn, occlude_fn=occl_fn,
-                    return_ray_count=True, shrink_schedule=sched,
-                )
-                return jnp.sum(rad), cnt
+        def step1(lanes, base):
+            rad, cnt = tuned(lanes, sample_ids(base))
+            return jnp.sum(rad), cnt
         fn1 = jax.jit(step1)
 
         def fn(base):
@@ -164,6 +116,9 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
             "samples_per_launch": samples_per_launch,
         }
     if True:
+        trace_mode = os.environ.get("PBRS_TRACE_MODE") or None
+        isect_fn, occl_fn = td.make_trace_fns(scene, trace_mode=trace_mode)
+
         def step(lanes, base):
             sid = sample_ids(base)
             rad = direct_mod.direct_radiance(

@@ -51,12 +51,20 @@ def _pad_rows(n):
     return rows
 
 
-def prim_scalars(geom: GeometryTables, include=(True, True, True, True)):
+def prim_scalars(geom: GeometryTables, include=(True, True, True, True),
+                 subsets=None, with_ids=False):
     """Flatten primitive tables to a single f32 scalar bank [P, 16]:
     per-prim row = type-specific params. Order: spheres, quads, [tris,]
     disks. Global prim ids always follow the sphere/quad/tri/disk
     convention of shapes/intersect.py; BVH-managed families are excluded
-    from the bank (SMEM is ~1MB) and the kernel adjusts row offsets."""
+    from the bank (SMEM is ~1MB) and the kernel adjusts row offsets.
+
+    with_ids=True (PallasTracer's bank): column 15 of every row carries
+    the GLOBAL prim id (exact in f32 below 2^24), the returned counts are
+    bank row counts per family, and `subsets` may give per-family index
+    arrays selecting a non-contiguous slice of a family into the bank —
+    the flat-sweep side of the big/small primitive partition (the dense
+    remainder goes to a treelet tracer with an id map)."""
     sph_c = np.asarray(geom.sph_center)
     sph_r = np.asarray(geom.sph_radius)
     q_o = np.asarray(geom.quad_origin)
@@ -69,43 +77,60 @@ def prim_scalars(geom: GeometryTables, include=(True, True, True, True)):
     d_n = np.asarray(geom.disk_normal)
     d_r = np.asarray(geom.disk_radial)
 
-    counts = (
-        sph_c.shape[0], q_o.shape[0], t_p0.shape[0], d_c.shape[0]
-    )
+    fam = (sph_c.shape[0], q_o.shape[0], t_p0.shape[0], d_c.shape[0])
+    base = (0, fam[0], fam[0] + fam[1], fam[0] + fam[1] + fam[2])
+    if subsets is None:
+        subsets = (None, None, None, None)
+    sel = [
+        (np.arange(fam[i]) if subsets[i] is None
+         else np.asarray(subsets[i], np.int64))
+        if include[i] else np.zeros(0, np.int64)
+        for i in range(4)
+    ]
+    if with_ids:
+        assert sum(fam) < (1 << 24), "f32 id column overflows at 2^24 prims"
+
     rows = []
-    if include[0]:
-        for c, r in zip(sph_c, sph_r):
-            rows.append([*c, r] + [0.0] * 12)
-    if include[1]:
-        for o, u, v in zip(q_o, q_u, q_v):
-            n = np.cross(u, v)
-            n2 = max(float((n * n).sum()), 1e-30)
-            rows.append([*o, *u, *v, *n, n2] + [0.0] * 3)
-    if include[2]:
-        for p0, p1, p2 in zip(t_p0, t_p1, t_p2):
-            n = np.cross(p0 - p1, p2 - p1)
-            ln = np.linalg.norm(n)
-            # Degenerate (incl. padding dummies): zero normal -> denom == 0
-            # -> the plane test can never pass.
-            n = n / ln if ln > 0 else np.zeros(3)
-            rows.append([*p0, *p1, *p2, *n] + [0.0] * 4)
-    if include[3]:
-        for c, n, r in zip(d_c, d_n, d_r):
-            r2 = float((r * r).sum())
-            rows.append([*c, *n, r2] + [0.0] * 9)
+    for c, r, gid in zip(sph_c[sel[0]], sph_r[sel[0]], base[0] + sel[0]):
+        rows.append([*c, r] + [0.0] * 11 + [float(gid)])
+    for o, u, v, gid in zip(q_o[sel[1]], q_u[sel[1]], q_v[sel[1]],
+                            base[1] + sel[1]):
+        n = np.cross(u, v)
+        n2 = max(float((n * n).sum()), 1e-30)
+        rows.append([*o, *u, *v, *n, n2] + [0.0] * 2 + [float(gid)])
+    for p0, p1, p2, gid in zip(t_p0[sel[2]], t_p1[sel[2]], t_p2[sel[2]],
+                               base[2] + sel[2]):
+        n = np.cross(p0 - p1, p2 - p1)
+        ln = np.linalg.norm(n)
+        # Degenerate (incl. padding dummies): zero normal -> denom == 0
+        # -> the plane test can never pass.
+        n = n / ln if ln > 0 else np.zeros(3)
+        rows.append([*p0, *p1, *p2, *n] + [0.0] * 3 + [float(gid)])
+    for c, n, r, gid in zip(d_c[sel[3]], d_n[sel[3]], d_r[sel[3]],
+                            base[3] + sel[3]):
+        r2 = float((r * r).sum())
+        rows.append([*c, *n, r2] + [0.0] * 8 + [float(gid)])
     if not rows:
-        rows.append([0.0] * 16)
+        rows.append([0.0] * 15 + [-1.0])
     bank = np.asarray(rows, np.float32)
+    if not with_ids:
+        bank = bank.copy()
+        bank[:, 15] = 0.0
     # 1-D component columns: 2-D SMEM tables pad the minor dim to 128 lanes
     # (8x waste); sixteen 1-D arrays don't.
     cols = tuple(jnp.asarray(np.ascontiguousarray(bank[:, j]))
                  for j in range(16))
+    counts = (tuple(len(s) for s in sel) if with_ids else fam)
     return cols, counts
 
 
-def _trace_kernel(*refs, counts, any_hit, do_types=(True, True, True, True)):
-    """One ray tile vs every primitive. refs: 16 SMEM prim columns +
-    7 ray planes + 2 outputs. do_types masks families handled by BVHs."""
+def _trace_kernel(*refs, counts, any_hit):
+    """One ray tile vs every primitive in the bank. refs: 16 SMEM prim
+    columns + 7 ray planes + 2 outputs. counts = bank rows per family
+    (families handled by treelet tracers, or the dense side of a big/small
+    partition, have 0 or subset-sized rows); winner ids come from the
+    bank's id column (col 15), so bank rows may be any subset of a
+    family."""
     cols = refs[:16]
     ox, oy, oz, dx, dy, dz, tmax = refs[16:23]
     t_out, idx_out = refs[23:25]
@@ -131,6 +156,9 @@ def _trace_kernel(*refs, counts, any_hit, do_types=(True, True, True, True)):
             closer = t < t_best
             return jnp.where(closer, t, t_best), jnp.where(closer, pid, idx_best)
 
+        def gid(row):
+            return cols[15][row].astype(jnp.int32)
+
         def sphere_body(i, carry):
             p = lambda j: cols[j][i]
             cx, cy, cz, r = p(0), p(1), p(2), p(3)
@@ -155,7 +183,7 @@ def _trace_kernel(*refs, counts, any_hit, do_types=(True, True, True, True)):
             ok = has & (q != 0.0)
             lo_ok = ok & (t_lo >= T_MIN) & (t_lo < t_max)
             t = jnp.where(lo_ok, t_lo, t_hi)
-            return consider(t, ok, i, carry)
+            return consider(t, ok, gid(i), carry)
 
         def quad_body(i, carry):
             p = lambda j: cols[j][sph_rows + i]
@@ -182,13 +210,14 @@ def _trace_kernel(*refs, counts, any_hit, do_types=(True, True, True, True)):
                 (denom != 0.0)
                 & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0) & (vv <= 1.0)
             )
-            return consider(t, ok, n_sph + i, carry)
+            return consider(t, ok, gid(sph_rows + i), carry)
 
-        do_sph, do_quad, do_tris, do_disk = do_types
-        # Bank rows follow the same layout but skip BVH-managed families.
-        sph_rows = n_sph if do_sph else 0
-        quad_rows = n_quad if do_quad else 0
-        tri_rows = n_tri if do_tris else 0
+        # Bank row offsets per family (counts are bank rows, not full
+        # family sizes — treelet-managed families contribute 0 or a
+        # subset's worth of rows).
+        sph_rows = n_sph
+        quad_rows = n_quad
+        tri_rows = n_tri
 
         def tri_body(i, carry):
             p = lambda j: cols[j][sph_rows + quad_rows + i]
@@ -217,7 +246,7 @@ def _trace_kernel(*refs, counts, any_hit, do_types=(True, True, True, True)):
                 (b0 < 0) & (b1 < 0) & (b2 < 0)
             )
             ok = (denom != 0.0) & inside
-            return consider(t, ok, n_sph + n_quad + i, carry)
+            return consider(t, ok, gid(sph_rows + quad_rows + i), carry)
 
         def disk_body(i, carry):
             p = lambda j: cols[j][sph_rows + quad_rows + tri_rows + i]
@@ -232,16 +261,17 @@ def _trace_kernel(*refs, counts, any_hit, do_types=(True, True, True, True)):
             pz = roz + t * rdz - cz_
             inside = px * px + py * py + pz * pz <= r2
             ok = (denom != 0.0) & inside
-            return consider(t, ok, n_sph + n_quad + n_tri + i, carry)
+            return consider(
+                t, ok, gid(sph_rows + quad_rows + tri_rows + i), carry)
 
         carry = (t_best, idx_best)
-        if do_sph:
+        if n_sph:
             carry = jax.lax.fori_loop(0, n_sph, sphere_body, carry)
-        if do_quad:
+        if n_quad:
             carry = jax.lax.fori_loop(0, n_quad, quad_body, carry)
-        if do_tris:
+        if n_tri:
             carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
-        if do_disk:
+        if n_disk:
             carry = jax.lax.fori_loop(0, n_disk, disk_body, carry)
         t_best, idx_best = carry
 
@@ -250,18 +280,16 @@ def _trace_kernel(*refs, counts, any_hit, do_types=(True, True, True, True)):
         idx_out[...] = jnp.where(miss, -1, idx_best)
 
 
-@functools.partial(jax.jit, static_argnames=("counts", "interpret",
-                                              "do_types"))
+@functools.partial(jax.jit, static_argnames=("counts", "interpret"))
 def _trace_padded(params, ox, oy, oz, dx, dy, dz, tmax, counts,
-                  interpret=False, do_types=(True, True, True, True)):
+                  interpret=False):
     # params: tuple of 16 1-D SMEM columns.
     rows = ox.shape[0]
     grid = (rows // BLOCK_ROWS,)
     blk = lambda: pl.BlockSpec(
         (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(_trace_kernel, counts=counts, any_hit=False,
-                               do_types=do_types)
+    kernel = functools.partial(_trace_kernel, counts=counts, any_hit=False)
     t, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -278,54 +306,115 @@ def _trace_padded(params, ox, oy, oz, dx, dy, dz, tmax, counts,
     return t, idx
 
 
+# Big/small partition bounds: at most this many "big" prims stay in the
+# flat bank (the sweep is linear per ray — 256 prims still run >100
+# Mrays/s), and a prim counts as big when its area exceeds this multiple
+# of the family's median (room shells / floors are ~1e4-1e6x a dense
+# mesh's triangle).
+PARTITION_MAX_FLAT = 256
+PARTITION_AREA_FACTOR = 32.0
+
+
+def _partition_big(area, thresh):
+    """Split a family by area into (big_ids, small_ids) or (None, None)
+    when a partition wouldn't pay: the big side must be small enough for
+    the flat sweep and the small side big enough to want a treelet."""
+    n = area.shape[0]
+    pos = area[area > 0]
+    if pos.size == 0:
+        return None, None
+    med = float(np.median(pos))
+    if med <= 0:
+        return None, None
+    big = area > PARTITION_AREA_FACTOR * med
+    n_big = int(big.sum())
+    if n_big == 0 or n_big > PARTITION_MAX_FLAT or (n - n_big) <= thresh:
+        return None, None
+    return np.nonzero(big)[0], np.nonzero(~big)[0]
+
+
 class PallasTracer:
     """Closest-hit / any-hit queries against a GeometryTables snapshot.
 
     Families above TREELET_THRESHOLD are handled by the treelet MXU-gather
-    tracer (accel/treelet.py); small tables go through the flat prim loop."""
+    tracer (accel/treelet.py); small tables go through the flat prim loop.
+
+    Mixed-scale families (a dense mesh + a few room-sized prims, e.g. the
+    PBRT interior's walls vs its PLY meshes) are PARTITIONED by area: the
+    few big prims sweep in the flat bank (linear, cheap), the dense
+    remainder gets a treelet tracer whose chunk boxes stay tight around
+    the mesh — rays that never approach the mesh skip it at the chunk
+    gate instead of paying treelet rounds for every wall hit. Winner ids
+    stay global on both sides (bank id column / treelet id map)."""
 
     def __init__(self, geom: GeometryTables, interpret: bool = False,
                  bvh_threshold: int | None = None):
         from . import treelet as tl
 
-        self.params, self.counts = prim_scalars(geom)
         self.geom = geom
         self.interpret = interpret
         thresh = TREELET_THRESHOLD if bvh_threshold is None else bvh_threshold
-        n_sph, n_quad, n_tri, n_disk = self.counts
+        n_sph = int(np.asarray(geom.sph_center).shape[0])
+        n_quad = int(np.asarray(geom.quad_origin).shape[0])
+        n_tri = int(np.asarray(geom.tri_p0).shape[0])
+        n_disk = int(np.asarray(geom.disk_center).shape[0])
         base_sph = 0
         base_quad = n_sph
         base_tri = n_sph + n_quad
         base_disk = n_sph + n_quad + n_tri
         self.bvhs = []
-        do = [True, True, True, True]
+        include = [True, True, True, True]
+        subsets = [None, None, None, None]
         if n_sph > thresh:
             self.bvhs.append(tl.sphere_tracer(
                 geom.sph_center, geom.sph_radius, base_sph,
                 interpret=interpret))
-            do[0] = False
+            include[0] = False
         if n_quad > thresh:
-            self.bvhs.append(tl.quad_tracer(
-                geom.quad_origin, geom.quad_u, geom.quad_v, base_quad,
-                interpret=interpret))
-            do[1] = False
+            u = np.asarray(geom.quad_u)
+            v = np.asarray(geom.quad_v)
+            area = np.linalg.norm(np.cross(u, v), axis=1)
+            big, small = _partition_big(area, thresh)
+            if big is None:
+                self.bvhs.append(tl.quad_tracer(
+                    geom.quad_origin, geom.quad_u, geom.quad_v, base_quad,
+                    interpret=interpret))
+                include[1] = False
+            else:
+                o = np.asarray(geom.quad_origin)
+                self.bvhs.append(tl.quad_tracer(
+                    o[small], u[small], v[small], base_quad + small,
+                    interpret=interpret))
+                subsets[1] = big
         if n_tri > thresh:
-            self.bvhs.append(tl.tri_tracer(
-                geom.tri_p0, geom.tri_p1, geom.tri_p2, base_tri,
-                interpret=interpret))
-            do[2] = False
+            p0 = np.asarray(geom.tri_p0)
+            p1 = np.asarray(geom.tri_p1)
+            p2 = np.asarray(geom.tri_p2)
+            area = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=1)
+            big, small = _partition_big(area, thresh)
+            if big is None:
+                self.bvhs.append(tl.tri_tracer(
+                    p0, p1, p2, base_tri, interpret=interpret))
+                include[2] = False
+            else:
+                self.bvhs.append(tl.tri_tracer(
+                    p0[small], p1[small], p2[small], base_tri + small,
+                    interpret=interpret))
+                subsets[2] = big
         if n_disk > thresh:
             self.bvhs.append(tl.disk_tracer(
                 geom.disk_center, geom.disk_normal, geom.disk_radial,
                 base_disk, interpret=interpret))
-            do[3] = False
-        self.do_types = tuple(do)
+            include[3] = False
+        self.do_types = tuple(include)
         # Kept for tests/back-compat: the triangle tracer if one exists.
         self.mesh = next(
             (b for b in self.bvhs if b.kind == tl.KIND_TRI), None
         )
-        if not all(do):
-            self.params, _ = prim_scalars(geom, include=self.do_types)
+        self.params, self.counts = prim_scalars(
+            geom, include=tuple(include), subsets=tuple(subsets),
+            with_ids=True)
+        self.flat_rows = sum(self.counts)
 
     def _components(self, rays: ray_mod.RayBatch):
         n = rays.origin.shape[0]
@@ -347,11 +436,15 @@ class PallasTracer:
         mode: treelet kernel selection forwarded to TreeletTracer.trace
         (None/'onehot' per-lane gathers, 'rowdense' row-shared dense)."""
         comps, n = self._components(rays)
-        t, idx = _trace_padded(
-            self.params, *comps, counts=self.counts,
-            interpret=self.interpret, do_types=self.do_types,
-        )
-        t, idx = t.reshape(-1)[:n], idx.reshape(-1)[:n]
+        if self.flat_rows:
+            t, idx = _trace_padded(
+                self.params, *comps, counts=self.counts,
+                interpret=self.interpret,
+            )
+            t, idx = t.reshape(-1)[:n], idx.reshape(-1)[:n]
+        else:
+            t = jnp.full(n, jnp.inf, jnp.float32)
+            idx = jnp.full(n, -1, jnp.int32)
         for bvh in self.bvhs:
             t2, idx2 = bvh.trace(rays, any_hit=any_hit, mode=mode)
             closer = t2 < t

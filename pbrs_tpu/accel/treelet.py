@@ -939,9 +939,20 @@ class TreeletTracer:
         # loses ~15% to the chunked walk, so it stays off there.
         tab_bytes = self.n_chunks * 3 * N_FIELDS[kind] * treelet * CHUNK * 2
         self.resident = self.n_chunks == 1 and tab_bytes <= (4 << 20)
-        # packed (treelet, slot) -> global prim id (-1 for empty slots)
-        self.slot_gid = jnp.where(slot_prim >= 0, slot_prim + global_base,
-                                  -1).astype(jnp.int32)
+        # packed (treelet, slot) -> global prim id (-1 for empty slots).
+        # global_base: int offset for a contiguous family range, or an
+        # int array mapping local prim row -> global prim id (lets a
+        # tracer serve a non-contiguous SUBSET of a family — e.g. the
+        # dense-mesh side of the big/small triangle partition in
+        # trace_pallas.PallasTracer).
+        sp = np.asarray(slot_prim)
+        if isinstance(global_base, (int, np.integer)):
+            gid = sp + int(global_base)
+        else:
+            id_map = np.asarray(global_base, np.int64)
+            gid = np.where(sp >= 0, id_map[np.clip(sp, 0, None)], -1)
+        self.slot_gid = jnp.asarray(
+            np.where(sp >= 0, gid, -1).astype(np.int32))
         self.t_pad = self.n_chunks * CHUNK
         # Row-dense mode (one shared treelet visit per 1024-lane row; see
         # _rowdense_row): needs the whole stacked table VMEM-resident.

@@ -50,15 +50,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--visualize_materials", action="store_true")
     p.add_argument("--use_single_thread", action="store_true")
     p.add_argument("--use_multi_thread", action="store_true")
-    p.add_argument("--trace_mode", default=None,
-                   choices=["onehot", "rowdense"],
-                   help="treelet kernel: rowdense (row-shared dense "
-                        "visits, pairs with the Morton lane order) or "
-                        "onehot (per-lane MXU gathers; default)")
-    p.add_argument("--compact", action="store_true",
+    p.add_argument("--trace_mode", default="auto",
+                   choices=["auto", "onehot", "rowdense"],
+                   help="treelet kernel: auto (pilot-measured, default), "
+                        "rowdense (row-shared dense visits, pairs with "
+                        "the Morton lane order) or onehot (per-lane MXU "
+                        "gathers)")
+    p.add_argument("--compact", default="auto",
+                   choices=["auto", "on", "off"],
                    help="shrink the bounce wavefront with a measured "
                         "per-depth schedule + spatial block re-sort "
-                        "(estimator-identical)")
+                        "(estimator-identical); auto = pilot-measured")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of the render here")
     p.add_argument("--phase_timings", action="store_true",
@@ -146,8 +148,8 @@ def main(argv=None) -> int:
         pixel_filter=pixel_filter,
         profile_dir=args.profile_dir,
         sampler_kind=args.sampler,
-        trace_mode=args.trace_mode,
-        compact=args.compact,
+        trace_mode=None if args.trace_mode == "onehot" else args.trace_mode,
+        compact={"auto": "auto", "on": True, "off": False}[args.compact],
     )
     wall = time.time() - t0
     mrays = stats.traced_rays / max(stats.wall_time, 1e-9) / 1e6

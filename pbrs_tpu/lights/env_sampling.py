@@ -7,11 +7,15 @@ hemisphere sampling. This module adds the standard PBRT InfiniteAreaLight
 distribution, TPU-shaped:
 
 * Host build: luminance * sin(theta) weighted piecewise-constant 2-D
-  distribution over the equirect grid — marginal CDF over rows [H+1],
-  conditional CDF per row [H, W+1].
-* Device sample: two inverted CDF lookups (vectorized searchsorted — a
-  log2 binary scan, no per-lane gathers beyond two row fetches) ->
-  direction, radiance, solid-angle pdf.
+  distribution over the equirect grid, compiled to a FLAT Vose alias
+  table over all H*W texels with both outcomes' payloads packed per
+  bucket row.
+* Device sample: ONE wide row gather. The first CDF implementation
+  (marginal searchsorted + per-row conditional binary scan) materialized
+  [N, W+1] row fetches and cost 308 ms at 1M lanes on v5e — 75% of the
+  whole NEE stage on the interior scene; the alias draw is 15 ms
+  (round-4 profile, tools/_prof_interior_stages.py). Same distribution,
+  different u -> texel mapping.
 * Device pdf: direction -> (row, col) -> pdf, for the MIS weight of the
   BSDF-sampled arm.
 
@@ -41,6 +45,11 @@ class EnvDistribution:
     pdf_img: jnp.ndarray  # [H, W] normalized texel density (sums to 1)
     image: jnp.ndarray  # [H, W, 3]
     scale: jnp.ndarray  # [3]
+    # Flat alias table over H*W texels; per bucket row:
+    # [q, b_row, b_col, b_r, b_g, b_b, b_p, a_row, a_col, a_r, a_g, a_b,
+    #  a_p] — threshold + (row, col, radiance, texel prob) for the bucket
+    # texel and its alias, so one gather serves the whole draw.
+    alias_packed: jnp.ndarray = None  # [H*W, 13]
 
 
 def build_distribution(image, scale=(1.0, 1.0, 1.0)) -> EnvDistribution:
@@ -68,12 +77,46 @@ def build_distribution(image, scale=(1.0, 1.0, 1.0)) -> EnvDistribution:
     cond[:, 1:] = np.cumsum(pdf_img / safe_row[:, None], axis=1)
     cond[:, -1] = 1.0
 
+    # --- flat Vose alias table over the H*W texels -----------------------
+    p = pdf_img.reshape(-1).astype(np.float64)
+    hw = p.size
+    scaled = p * hw
+    q = np.ones(hw, np.float64)
+    alias = np.arange(hw, dtype=np.int64)
+    small = [i for i in range(hw) if scaled[i] < 1.0]
+    large = [i for i in range(hw) if scaled[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        q[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = (scaled[l] + scaled[s]) - 1.0
+        (small if scaled[l] < 1.0 else large).append(l)
+    for i in small + large:
+        q[i] = 1.0
+
+    rows_i = (np.arange(hw, dtype=np.int64) // w).astype(np.float32)
+    cols_i = (np.arange(hw, dtype=np.int64) % w).astype(np.float32)
+    rgb = img.reshape(hw, 3)
+    p32 = pdf_img.reshape(-1)
+
+    def payload(idx):
+        return np.concatenate([
+            rows_i[idx, None], cols_i[idx, None], rgb[idx], p32[idx, None],
+        ], axis=1)
+
+    own = payload(np.arange(hw))
+    ali = payload(alias)
+    alias_packed = np.concatenate(
+        [q[:, None].astype(np.float32), own, ali], axis=1)
+
     return EnvDistribution(
         marginal_cdf=jnp.asarray(marginal),
         conditional_cdf=jnp.asarray(cond),
         pdf_img=jnp.asarray(pdf_img),
         image=jnp.asarray(img),
         scale=jnp.asarray(scale, jnp.float32),
+        alias_packed=jnp.asarray(alias_packed),
     )
 
 
@@ -89,10 +132,46 @@ def _dir_from_uv(u, v):
 
 
 def sample_env(dist: EnvDistribution, u2):
-    """Draw directions from the env distribution.
+    """Draw directions from the env distribution via the flat alias
+    table: ONE [N, 13] row gather + arithmetic.
 
     u2: [N, 2] uniforms. Returns (dir [N,3], radiance [N,3], pdf [N]).
-    pdf is w.r.t. solid angle; 0 only at degenerate poles."""
+    pdf is w.r.t. solid angle; 0 only at degenerate poles. Within-texel
+    position is jittered from the residual uniforms (frac of the bucket
+    coordinate + the rescaled threshold residual), so the continuous
+    (u, v) density stays p_img * H * W exactly as in the CDF inversion —
+    same distribution, different u -> texel mapping."""
+    h = dist.pdf_img.shape[0]
+    w = dist.pdf_img.shape[1]
+    hw = h * w
+    u, v = u2[..., 0], u2[..., 1]
+    x = jnp.clip(v, 0.0, 1.0 - 1e-7) * hw
+    b = jnp.clip(x.astype(jnp.int32), 0, hw - 1)
+    rowv = jnp.take(dist.alias_packed, b, axis=0)  # [N, 13]
+    q = rowv[..., 0]
+    take_alias = u >= q
+    sel = jnp.where(take_alias[..., None], rowv[..., 7:13], rowv[..., 1:7])
+    ju = jnp.where(
+        take_alias,
+        (u - q) / jnp.maximum(1.0 - q, 1e-12),
+        u / jnp.maximum(q, 1e-12),
+    )
+    jv = x - b.astype(jnp.float32)
+    row_f, col_f = sel[..., 0], sel[..., 1]
+    radiance = sel[..., 2:5] * dist.scale
+    p_img = sel[..., 5]
+    uu = (col_f + jnp.clip(ju, 0.0, 1.0 - 1e-6)) / w
+    vv = (row_f + jnp.clip(jv, 0.0, 1.0 - 1e-6)) / h
+    direction = _dir_from_uv(uu, vv)
+    sin_t = jnp.sqrt(jnp.maximum(
+        1.0 - direction[..., 1] * direction[..., 1], 0.0))
+    pdf = p_img * hw / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_t, 1e-8)
+    return direction, radiance, pdf
+
+
+def _sample_env_cdf(dist: EnvDistribution, u2):
+    """Reference CDF-inversion sampler (the alias table's cross-check;
+    too gather-heavy for the hot path — see module docstring)."""
     h = dist.pdf_img.shape[0]
     w = dist.pdf_img.shape[1]
     u, v = u2[..., 0], u2[..., 1]

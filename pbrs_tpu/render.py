@@ -91,8 +91,8 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
                  pixel_filter: tuple | None = None,
                  profile_dir: str | None = None,
                  sampler_kind: str = "pcg",
-                 trace_mode: str | None = None,
-                 compact: bool = False):
+                 trace_mode: str | None = "auto",
+                 compact: bool | str = "auto"):
     """Render the scene camera view. Returns (image [H,W,3], RenderStats).
 
     spp is rounded up to a square (msaa² stratification, matching the
@@ -103,6 +103,11 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
     uses; None for the per-lane one-hot kernels). compact: shrink the
     bounce wavefront with a measured per-depth schedule + spatial
     block re-sort (estimator-identical; see wavefront.block_compact).
+
+    'auto' (default, TPU path renders): pick integrator, trace mode and
+    compaction by timing one launch of each candidate (pbrs_tpu.tuner) —
+    eligibility-based selection shipped a 2.6x interior regression in
+    round 3. Explicit values pin the choice.
     """
     cam = scene.camera
     w, h = cam.width, cam.height
@@ -119,6 +124,18 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
     n_chunks = (n + chunk - 1) // chunk
     pad_n = n_chunks * chunk
 
+    on_device = use_pallas or (
+        use_pallas is None and jax.default_backend() != "cpu")
+    use_tuner = (
+        (trace_mode == "auto" or compact == "auto")
+        and integrator == "path" and use_nee and pixel_filter is None
+        and sampler_kind == "pcg" and on_device
+    )
+    if trace_mode == "auto":
+        trace_mode = None
+    if compact == "auto":
+        compact = False
+
     isect_fn, occl_fn = trace_dispatch.make_trace_fns(
         scene, use_pallas, trace_mode=trace_mode)
 
@@ -129,9 +146,7 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
     # route through the general wavefront.
     if integrator == "path" and use_nee and pixel_filter is None and (
         sampler_kind == "pcg"
-    ) and (
-        use_pallas or (use_pallas is None and jax.default_backend() != "cpu")
-    ):
+    ) and on_device and not use_tuner:
         from .accel import fused_kernel as fk
         from .accel import fused_single_lobe as fsl
         from .accel import fused_wave as fw
@@ -152,7 +167,28 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
                  "sinc": flt.LANCZOS, "lanczos": flt.LANCZOS}
         filter_inv = flt.make_filter_cdf(kinds[kind], float(radius))
 
-    if integrator == "path" and (use_fused or use_fused_sl or use_fused_wave):
+    if integrator == "path" and use_tuner:
+        from . import tuner as tuner_mod
+
+        batch0 = max(1, min(spp_total, chunk // max(n, 1)))
+        order0 = wavefront.morton_pixel_order(w, h)
+        pix_pad = (np.concatenate([order0, order0[:pad_n - n]])
+                   if pad_n > n else order0)
+        pilot_pix = np.tile(pix_pad[:chunk], batch0)
+        pilot_sid = np.repeat(np.arange(batch0, dtype=np.int32),
+                              min(n, chunk))
+        tuned = tuner_mod.tune(
+            scene, sampler, jnp.asarray(pilot_pix), jnp.asarray(pilot_sid),
+            depth=max_depth, msaa=msaa)
+        tuned_masked = tuned.masked()
+        pilot_n = int(pilot_pix.shape[0])
+
+        def kernel(scene_, sampler_, pix, s, **_kw):
+            t = tuned if int(pix.shape[0]) == pilot_n else tuned_masked
+            rad, _count = t(pix, s)
+            return rad
+    elif integrator == "path" and (
+            use_fused or use_fused_sl or use_fused_wave):
         if use_fused:
             from .accel import fused_kernel as fk
 

@@ -1,0 +1,243 @@
+"""Pilot-measured render configuration selection.
+
+Rounds 2-3 selected the render configuration by static eligibility: the
+first fused integrator whose kernel *supports* the scene won, and the
+round-3 fast paths (row-dense treelet mode, the compaction schedule) were
+env-var opt-ins that nothing enabled. That shipped a 2.6x slowdown on the
+interior (fused_wave eligible != fused_wave faster) and left the mesh
+configs running the slow defaults (round-3 VERDICT #3/#5).
+
+This module picks by MEASUREMENT: build each candidate configuration
+(integrator x trace mode x compaction), time one real launch at the
+render's own shapes, keep the winner. Candidates:
+
+* integrator: the statically-specialized fused kernels where supported
+  (diffuse / single-lobe are unconditional wins, measured every round
+  since r1 — not re-measured), otherwise fused_wave AND the general
+  wavefront, both timed (the contested pair).
+* trace mode: per-lane one-hot vs row-dense treelet kernels, when any
+  treelet tracer can run row-dense.
+* compaction: masked loop vs the auto_schedule shrink loop (only
+  meaningful when the pilot's alive counts actually shrink).
+
+The pilot costs a few compiles (cached across samples/repeats); for any
+render long enough to care about throughput it amortizes to noise.
+Explicit `trace_mode=`/`compact=` arguments (or the PBRS_TRACE_MODE /
+PBRS_COMPACT env vars, kept for profiling) bypass measurement.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .accel import dispatch as trace_dispatch
+from .integrators import wavefront
+
+
+def _env_overrides():
+    tm = os.environ.get("PBRS_TRACE_MODE") or None
+    comp = os.environ.get("PBRS_COMPACT")
+    compact = None if comp is None else comp == "1"
+    return tm, compact
+
+
+def _treelet_modes(scene):
+    """Trace-mode candidates for this scene's tracers."""
+    tracer_holders = []
+    try:
+        from .accel import trace_pallas as tp
+
+        if jax.default_backend() in ("cpu",):
+            return [None]
+        geom = scene.geom
+        groups = getattr(scene, "instanced", ())
+        counts = [int(np.asarray(geom.tri_p0).shape[0]),
+                  int(np.asarray(geom.quad_origin).shape[0]),
+                  int(np.asarray(geom.sph_center).shape[0]),
+                  int(np.asarray(geom.disk_center).shape[0])]
+        big = any(c > tp.TREELET_THRESHOLD for c in counts)
+        for g in groups:
+            gg = g.geom
+            big = big or any(
+                int(np.asarray(a).shape[0]) > tp.TREELET_THRESHOLD
+                for a in (gg.tri_p0, gg.quad_origin, gg.sph_center,
+                          gg.disk_center))
+        if big:
+            return [None, "rowdense"]
+    except Exception:
+        pass
+    del tracer_holders
+    return [None]
+
+
+class TunedRender:
+    """One render configuration: integrator (or general path) + trace fns
+    + optional shrink schedule, callable as (lanes, sample_ids) ->
+    (radiance [N,3], traced_segment_count)."""
+
+    def __init__(self, scene, sampler, depth, msaa, trace_mode, integ,
+                 schedule, isect_fn, occl_fn, label):
+        self.scene = scene
+        self.sampler = sampler
+        self.depth = depth
+        self.msaa = msaa
+        self.trace_mode = trace_mode
+        self.integ = integ
+        self.schedule = schedule
+        self.isect_fn = isect_fn
+        self.occl_fn = occl_fn
+        self.label = label
+
+    def masked(self):
+        """Twin configuration without the shrink schedule — for odd-sized
+        tail batches whose lane count doesn't match the schedule."""
+        if self.schedule is None:
+            return self
+        return TunedRender(
+            self.scene, self.sampler, self.depth, self.msaa,
+            self.trace_mode, self.integ, None, self.isect_fn,
+            self.occl_fn, self.label + "/masked-tail")
+
+    def __call__(self, lanes, sample_ids):
+        if self.integ is not None:
+            if self.schedule is not None:
+                return self.integ.render_samples_compacted(
+                    self.sampler, lanes, sample_ids, self.schedule,
+                    max_depth=self.depth, msaa=self.msaa,
+                    return_ray_count=True)
+            return self.integ.render_samples(
+                self.sampler, lanes, sample_ids, max_depth=self.depth,
+                msaa=self.msaa, return_ray_count=True)
+        return wavefront.render_samples(
+            self.scene, self.sampler, lanes, sample_ids,
+            max_depth=self.depth, msaa=self.msaa,
+            intersect_fn=self.isect_fn, occlude_fn=self.occl_fn,
+            return_ray_count=True, shrink_schedule=self.schedule)
+
+
+def _measure(step, lanes, sample_ids, reps=2):
+    """Compile + time `reps` launches; returns median seconds/launch.
+    Raises if the candidate's radiance is non-finite — a fast wrong
+    candidate must never win the tuning race."""
+    fn = jax.jit(step)
+    out = fn(lanes, sample_ids)
+    jax.block_until_ready(out)
+    rad = out[0] if isinstance(out, tuple) else out
+    if not bool(jnp.isfinite(rad).all()):
+        raise FloatingPointError("non-finite radiance from candidate")
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(lanes, sample_ids))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _auto_sched(scene, sampler, lanes, sample_ids, depth, msaa, isect_fn):
+    counts = np.asarray(jax.jit(
+        lambda: wavefront.measure_alive(
+            scene, sampler, lanes, sample_ids, max_depth=depth, msaa=msaa,
+            intersect_fn=isect_fn))())
+    n = int(lanes.shape[0])
+    sched = wavefront.auto_schedule(counts, n)
+    if all(c >= n for c in sched):
+        return None  # nothing ever shrinks; the masked loop is the same
+    return sched
+
+
+def tune(scene, sampler, lanes, sample_ids, depth=5, msaa=2,
+         trace_mode="auto", compact="auto", verbose=False):
+    """Measure candidate configurations on (lanes, sample_ids)-shaped
+    batches and return the fastest TunedRender.
+
+    trace_mode: 'auto' | None | 'onehot' | 'rowdense'
+    compact: 'auto' | True | False
+    """
+    env_tm, env_compact = _env_overrides()
+    if env_tm is not None:
+        trace_mode = env_tm
+    if env_compact is not None:
+        compact = env_compact
+
+    from .accel import fused_kernel as fk
+    from .accel import fused_single_lobe as fsl
+    from .accel import fused_wave as fw
+
+    def log(msg):
+        if verbose:
+            import sys
+
+            print(f"  [tune] {msg}", file=sys.stderr, flush=True)
+
+    modes = ([trace_mode] if trace_mode != "auto"
+             else _treelet_modes(scene))
+    compacts = [compact] if compact != "auto" else [False, True]
+
+    # Statically-specialized kernels: unconditional winners when eligible
+    # (diffuse: 160 vs ~60 Mrays/s unfused on cornell; single-lobe: 2.9-7x
+    # on plates/env_mapped — measured rounds 1-3 and re-verified r4).
+    if fk.scene_supports_fused(scene):
+        isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene)
+        return TunedRender(scene, sampler, depth, msaa, None,
+                           fk.FusedDiffuseIntegrator(scene), None,
+                           isect_fn, occl_fn, "fused_diffuse")
+    if fsl.scene_supports_single_lobe(scene):
+        isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene)
+        return TunedRender(scene, sampler, depth, msaa, None,
+                           fsl.FusedSingleLobeIntegrator(scene), None,
+                           isect_fn, occl_fn, "fused_single_lobe")
+
+    candidates = []
+    wave_ok = fw.scene_supports_wave(scene)
+    for mode in modes:
+        isect_fn, occl_fn = trace_dispatch.make_trace_fns(
+            scene, trace_mode=mode)
+        sched = None
+        if any(compacts):
+            sched = _auto_sched(scene, sampler, lanes, sample_ids, depth,
+                                msaa, isect_fn)
+            if sched is None:
+                log(f"{mode or 'onehot'}: schedule never shrinks; "
+                    "compaction candidates skipped")
+        mname = mode or "onehot"
+        integs = [(None, "general")]
+        if wave_ok:
+            integs.append(
+                (fw.FusedWaveIntegrator(scene, trace_mode=mode), "wave"))
+        seen = set()
+        for integ, iname in integs:
+            for comp in compacts:
+                s = sched if comp else None
+                label = f"{iname}/{mname}{'/compact' if s else ''}"
+                if label in seen:
+                    continue  # compact=True with no shrink == masked
+                seen.add(label)
+                candidates.append(TunedRender(
+                    scene, sampler, depth, msaa, mode, integ, s,
+                    isect_fn, occl_fn, label))
+
+    if len(candidates) == 1:
+        return candidates[0]
+
+    best, best_t = None, float("inf")
+    for cand in candidates:
+        try:
+            dt = _measure(cand, lanes, sample_ids)
+        except Exception as e:  # a candidate failing must not kill renders
+            log(f"{cand.label}: failed ({type(e).__name__}: {e})")
+            continue
+        log(f"{cand.label}: {dt * 1e3:.1f} ms/launch")
+        if dt < best_t:
+            best, best_t = cand, dt
+    if best is None:
+        # Every candidate failed (should not happen): masked general path.
+        isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene)
+        best = TunedRender(scene, sampler, depth, msaa, None, None, None,
+                           isect_fn, occl_fn, "general/fallback")
+    log(f"selected {best.label}")
+    return best

