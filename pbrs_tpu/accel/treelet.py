@@ -623,7 +623,12 @@ def _rowdense_row(boxes_ref, cboxes_ref, tab_ref,
             idx_best = jnp.where(closer, packed, idx_best)
             return rowkey, t_best, idx_best, nround + 1.0
 
-        t_best0 = jnp.where(live0, t_max, -BIG)
+        # Clamp the initial bound to the BIG sentinel: camera rays carry
+        # t_max = +inf, and an unclamped bound lets an all-miss round
+        # (tmin == BIG) pass `tmin < t_best` and record a phantom hit at
+        # t = BIG (whole rows of bogus ids -> NaN normals downstream).
+        # Every t_max used in tests was 3e38 == BIG, which masked this.
+        t_best0 = jnp.where(live0, jnp.minimum(t_max, BIG), -BIG)
         idx0 = jnp.full((1, rays), -1, jnp.int32)
         _, t_best, idx_best, nround = jax.lax.while_loop(
             cond, body,

@@ -101,3 +101,42 @@ def test_morton_pixel_order_is_permutation():
     o = wavefront.morton_pixel_order(64, 64)[:4]
     xs, ys = o % 64, o // 64
     assert xs.max() - xs.min() == 1 and ys.max() - ys.min() == 1
+
+
+def test_rowdense_infinite_tmax_and_other_kinds():
+    """Round-4 regression: with t_max = +inf (camera rays) the row-dense
+    kernel's initial bound must clamp to the BIG sentinel, else an
+    all-miss round records a phantom hit at t == BIG (observed on TPU as
+    whole rows of bogus ids -> NaN normals). Also covers quad and sphere
+    treelet kinds, which the original tests (t_max = 3e38 == BIG,
+    triangles only) never exercised."""
+    rng = np.random.default_rng(3)
+    n_rays = 2048
+    o = rng.uniform(-6, 6, (n_rays, 3)).astype(np.float32)
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays_inf = ray_mod.RayBatch(
+        origin=jnp.asarray(o), dir=jnp.asarray(d),
+        t_max=jnp.full(n_rays, np.inf, jnp.float32))
+
+    # Quads: a loose grid most rays miss.
+    qo = rng.uniform(-4, 4, (300, 3)).astype(np.float32)
+    qu = rng.uniform(-0.3, 0.3, (300, 3)).astype(np.float32)
+    qv = rng.uniform(-0.3, 0.3, (300, 3)).astype(np.float32)
+    corners = np.stack([qo, qo + qu, qo + qv, qo + qu + qv])
+    trq = tl.TreeletTracer(tl.KIND_QUAD, tl._quad_fields(qo, qu, qv),
+                           corners.min(0), corners.max(0), 0,
+                           interpret=True)
+    # Spheres.
+    sc = rng.uniform(-4, 4, (300, 3)).astype(np.float32)
+    sr = rng.uniform(0.05, 0.3, 300).astype(np.float32)
+    trs = tl.TreeletTracer(tl.KIND_SPHERE, tl._sphere_fields(sc, sr),
+                           sc - sr[:, None], sc + sr[:, None], 0,
+                           interpret=True)
+    for tr in (trq, trs):
+        assert tr.rowdense_ok
+        _check_agreement(tr, rays_inf)
+        t2, _ = tr.trace(rays_inf, mode="rowdense")
+        # No phantom hits at the sentinel.
+        t2 = np.asarray(t2)
+        assert not np.any((t2 >= 2.9e38) & np.isfinite(t2))
