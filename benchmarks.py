@@ -71,6 +71,7 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
         tuned = tuner.tune(scene, sampler, lanes_chunks[0], sample_ids(0),
                            depth=depth, msaa=msaa, verbose=True)
         print(f"  tuned: {tuned.label}", file=sys.stderr, flush=True)
+        tuned_label = tuned.label
 
         def step1(lanes, base):
             rad, cnt = tuned(lanes, sample_ids(base))
@@ -114,6 +115,7 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
             "wall_to_target_spp_sec": round(full_time, 3),
             "checksum": round(acc, 1),
             "samples_per_launch": samples_per_launch,
+            "tuned": tuned_label,
         }
     if True:
         trace_mode = os.environ.get("PBRS_TRACE_MODE") or None

@@ -549,9 +549,12 @@ def _rowdense_row(boxes_ref, cboxes_ref, tab_ref,
     # chunk write misses and skip init + visits entirely — with Morton
     # lane order most camera rows never touch a given family's geometry.
     _, chit = slab(cboxes_ref[...])
-    chunk_any = jnp.any(chit, axis=1)  # [n_chunks]
+    # int32, not bool: Mosaic can't squeeze a bool vector element to a
+    # scalar inside the per-chunk pl.when below (multi-chunk only, which
+    # the single-chunk interior/test scenes never hit).
+    chunk_any = jnp.any(chit, axis=1).astype(jnp.int32)  # [n_chunks]
 
-    @pl.when((jnp.any(t_max > 0.0)) & jnp.any(chunk_any))
+    @pl.when((jnp.any(t_max > 0.0)) & (jnp.sum(chunk_any) > 0))
     def _run_row():
 
         def chunk_keys(k):
@@ -570,7 +573,7 @@ def _rowdense_row(boxes_ref, cboxes_ref, tab_ref,
                 return chunk_keys(0)
             rowkey_s[...] = jnp.full((t_pad, 1), INT_MAX, jnp.int32)
             for k in range(n_chunks):
-                @pl.when(chunk_any[k])
+                @pl.when(chunk_any[k] > 0)
                 def _fill(k=k):
                     rowkey_s[k * CHUNK:(k + 1) * CHUNK, :] = chunk_keys(k)
             return rowkey_s[...]  # [t_pad, 1]

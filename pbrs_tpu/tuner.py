@@ -199,8 +199,13 @@ def tune(scene, sampler, lanes, sample_ids, depth=5, msaa=2,
             scene, trace_mode=mode)
         sched = None
         if any(compacts):
-            sched = _auto_sched(scene, sampler, lanes, sample_ids, depth,
-                                msaa, isect_fn)
+            try:
+                sched = _auto_sched(scene, sampler, lanes, sample_ids,
+                                    depth, msaa, isect_fn)
+            except Exception as e:  # a broken mode must not kill the tune
+                log(f"{mode or 'onehot'}: pilot failed "
+                    f"({type(e).__name__}: {e})")
+                sched = None
             if sched is None:
                 log(f"{mode or 'onehot'}: schedule never shrinks; "
                     "compaction candidates skipped")

@@ -47,16 +47,49 @@ def time_mesh(scene, spp, n_dp, n_sp, iters=2):
     return best, float(np.abs(np.asarray(img)).sum())
 
 
-def main():
-    size = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    spp = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+def wave_class_scene(size):
+    """A compact scene of the fused_wave class (image environment with
+    importance sampling, delta+smooth mixtures, FresnelBlend, image +
+    checker textures, delta + shaped area lights) so the multichip
+    evidence covers the round-3/4 paths, not just diffuse cornell."""
+    import numpy as np
+    from pbrs_tpu.lights import lights as lt
+    from pbrs_tpu.scene.buffers import SceneBuilder
+
+    b = SceneBuilder()
+    g = b.geometry
+    rng = np.random.default_rng(5)
+    tex_img = b.textures.add_image(rng.random((8, 8, 3)).astype(np.float32))
+    g.add_quad((-12, 0, -12), (24, 0, 0), (0, 0, 24),
+               b.materials.add_lambertian(tex_id=tex_img))
+    g.add_sphere((-2, 1, 0), 1.0, b.materials.add_substrate(
+        (0.5, 0.3, 0.2), (0.3, 0.3, 0.3), 0.08))
+    g.add_sphere((0.5, 1, 0), 1.0, b.materials.add_uber(
+        (0.3, 0.4, 0.5), (0.4, 0.4, 0.4), roughness=0.1, opacity=0.7))
+    g.add_sphere((3, 1, 0), 1.0, b.materials.add_dielectric(1.5))
+    light_c = (6.0, 6.0, 6.0)
+    g.add_quad((-2, 7, -2), (4, 0, 0), (0, 0, 4),
+               b.materials.add_diffuse_light(light_c))
+    b.lights.add_area_quad(light_c, (-2, 7, -2), (4, 0, 0), (0, 0, 4))
+    b.lights.add_point((6, 5, -6), (40, 35, 30))
+    env = rng.random((8, 16, 3)).astype(np.float32)
+    b.lights.env = lt.make_env_image(env, scale=(1.5, 1.5, 1.5))
+    cam = cam_mod.make_camera((size, size), 45.0)
+    b.camera = cam_mod.looking_at(cam, (0, 4, -14), (0, 1.5, 0), (0, 1, 0))
+    return b.build()
+
+
+def shrunk_cornell(size):
     scene = presets.cornell_box()
     cam = scene.camera
     fresh = cam_mod.make_camera((size, size), 40.0)
-    scene = scene.replace(camera=fresh.replace(
+    return scene.replace(camera=fresh.replace(
         center=cam.center, orientation=cam.orientation,
         a=cam.a * ((cam.width // 2) / (size // 2)),
         b=cam.b * ((cam.height // 2) / (size // 2)), c=cam.c))
+
+
+def bench_scene(name, scene, spp, n_dev):
 
     # All layouts run the same total work on the same physical CPU, so the
     # honest metric is overhead_ratio = wall_N / wall_1: ~1.0 means the
@@ -77,17 +110,33 @@ def main():
             "checksum": round(c, 1),
         })
         print(rows[-1], flush=True)
+    return {"config": name, "rows": rows}
 
+
+def main():
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    spp = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    configs = [
+        bench_scene(f"cornell_{size}x{size}_{spp}spp_depth5",
+                    shrunk_cornell(size), spp, n_dev),
+        bench_scene(f"wave_class_{size // 2}x{size // 2}_{spp}spp_depth5",
+                    wave_class_scene(size // 2), spp, n_dev),
+    ]
     out = {
-        "config": f"cornell_{size}x{size}_{spp}spp_depth5",
         "platform": "cpu-virtual-devices",
         "note": ("virtual host devices run the same total FLOPs on one "
                  "physical CPU; overhead_ratio ~ 1.0 means the shard_map+"
                  "psum partitioning adds no cost over the unsharded "
                  "program, which bounds the sharding overhead of the "
                  "dp/sp layout on real chips (per-chip work is "
-                 "embarrassingly parallel)"),
-        "rows": rows,
+                 "embarrassingly parallel). dp-sharded checksums must "
+                 "match dp1 exactly (stateless counter-based RNG); sp "
+                 "rows render the same spp with the batch rounded up to "
+                 "the sp axis, so their checksum differs legitimately. "
+                 "The wave_class config covers the round-3/4 estimator "
+                 "paths: image-env importance sampling (alias table), "
+                 "delta+smooth mixtures, FresnelBlend, image textures."),
+        "configs": configs,
     }
     with open("MULTICHIP_BENCH.json", "w") as f:
         json.dump(out, f, indent=1)
