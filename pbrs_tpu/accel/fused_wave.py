@@ -1312,7 +1312,7 @@ class FusedWaveIntegrator:
             if cap < cur:
                 u_c = sampler.u1(pix, sid, bounce, smp.DIM_COMPACT)
                 (rays, beta, pix, sid, orig, specular,
-                 alive) = wavefront.block_compact(
+                 alive, _) = wavefront.block_compact(
                     rays, beta, pix, sid, orig, specular, alive, cap, u_c,
                     sort_blocks=sort_blocks)
 

@@ -28,7 +28,7 @@ def _power2_heuristic(f_pdf, g_pdf):
 
 def uniform_sample_one_light(
     scene, lobes, frame, hit_pos, hit_normal, wo, u_select, u_light, u_scatter,
-    occlude_fn=None, alive=None,
+    occlude_fn=None, alive=None, path_sample=None,
 ):
     """Estimate direct lighting at shading points.
 
@@ -36,6 +36,19 @@ def uniform_sample_one_light(
     performs the any-hit query (defaults to brute-force table occlusion).
     `alive` masks lanes whose result is discarded: their shadow rays get
     t_max=0, so traversal-ordered tracers skip them outright.
+
+    path_sample: FOLDED mode. Pass the path's own BSDF sample
+    (f, wi, pdf, is_delta) and the function returns
+    (light_arm_radiance, pending): the BSDF-sampled MIS arm is NOT traced
+    here — its visibility is resolved by the NEXT bounce's closest hit
+    (the continuation ray IS the arm's sample), which removes one of the
+    two shadow traversals per bounce. `pending` is a dict of
+    {coeff [N,3], t_light [N], is_env [N]}: at the next hit add
+    coeff * env(dir) where is_env & the ray escaped, and coeff where
+    ~is_env & hit.t >= t_light (the chosen light was the closest thing
+    along the ray). This is PBRT's one-sample path-integrator fold; the
+    reference traces a second occlusion ray instead
+    (src/directlighting.rs:155-222) — estimator expectation identical.
     """
 
     def mask_dead(rays):
@@ -133,6 +146,60 @@ def uniform_sample_one_light(
         result = result + jnp.where(valid[..., None], contrib, 0.0)
 
     # ---------------- BSDF-sampled arm (area MIS + env) ----------------
+    pending = None
+    if (n_area > 0 or has_env) and path_sample is not None:
+        # Folded: the path's continuation sample IS the arm's sample; the
+        # next trace resolves visibility. Build the pending coefficients.
+        f_b, wi_b, pdf_b, is_delta_b = path_sample
+        f_b = f_b * jnp.abs(vm.dot(hit_normal, wi_b))[..., None]
+        coeff = jnp.zeros_like(hit_pos)
+        t_light = jnp.zeros(hit_pos.shape[0], hit_pos.dtype)
+        is_env_p = jnp.zeros(hit_pos.shape[0], bool)
+        if n_area > 0:
+            a_idx = jnp.clip(chosen - n_delta, 0, n_area - 1)
+            li_b, pdf_light_b, hit_light, pt_b = lt.area_radiance_to(
+                scene.area_lights, a_idx, hit_pos, wi_b
+            )
+            weight_b = _power2_heuristic(pdf_b, pdf_light_b)
+            valid_b = (
+                arm_area & hit_light & ~is_delta_b & (pdf_b > 0.0)
+                & (pdf_light_b > 0.0)
+                & ((f_b[..., 0] > 0.0) | (f_b[..., 1] > 0.0)
+                   | (f_b[..., 2] > 0.0))
+            )
+            contrib_b = f_b * li_b * (
+                weight_b * vm.weak_recip(pdf_b))[..., None] * float(n_lights)
+            coeff = jnp.where(valid_b[..., None], contrib_b, coeff)
+            # Distance along the continuation ray (spawned the same way)
+            # to the analytic light point; next-hit t >= this means the
+            # chosen light was the closest thing along the sample.
+            org = ray_mod.spawn(hit_pos, hit_normal, wi_b).origin
+            t_light = jnp.where(
+                valid_b, vm.dot(pt_b - org, wi_b), t_light)
+        if has_env:
+            # The env leg's radiance is eval_env(wi_b) — which the next
+            # bounce computes anyway (its escape term, same direction), so
+            # the coefficient EXCLUDES it and the resolve multiplies it in.
+            valid_e = arm_env & ~is_delta_b & (pdf_b > 0.0)
+            if env_is:
+                from ..lights import env_sampling as es
+
+                weight_e = _power2_heuristic(
+                    pdf_b, es.pdf_env(scene.env.dist, wi_b))
+            else:
+                weight_e = jnp.ones(hit_pos.shape[0], hit_pos.dtype)
+            ce = f_b * (weight_e * vm.weak_recip(pdf_b))[..., None] * float(
+                n_lights)
+            coeff = jnp.where(valid_e[..., None], ce, coeff)
+            is_env_p = valid_e
+        pending = {"coeff": coeff, "t_light": t_light, "is_env": is_env_p}
+        return result * float(n_lights), pending
+    if path_sample is not None:
+        return result * float(n_lights), {
+            "coeff": jnp.zeros_like(hit_pos),
+            "t_light": jnp.zeros(hit_pos.shape[0], hit_pos.dtype),
+            "is_env": jnp.zeros(hit_pos.shape[0], bool),
+        }
     if n_area > 0 or has_env:
         f_b, wi_b, pdf_b, is_delta_b = bsdf_mod.sample_bsdf(
             lobes, frame, wo, u_scatter

@@ -95,10 +95,30 @@ def morton_pixel_order(width, height):
     return (ys[keep] * width + xs[keep]).astype(np.int32)
 
 
+def _resolve_pending(pending, hit, env, radiance, add):
+    """Fold the previous bounce's BSDF-arm MIS contribution using THIS
+    bounce's closest hit: env leg pays when the ray escaped, area leg when
+    nothing closer than the chosen light was hit (nee.py folded mode)."""
+    coeff, t_light, is_env = (pending["coeff"], pending["t_light"],
+                              pending["is_env"])
+    vis_area = hit.t >= t_light * (1.0 - 1e-3)
+    pend_valid = is_env | (t_light > 0.0)
+    contrib = jnp.where(is_env[..., None], coeff * env, coeff)
+    ok = pend_valid & jnp.where(is_env, ~hit.hit, vis_area)
+    return add(radiance, jnp.where(ok[..., None], contrib, 0.0))
+
+
+def _zero_pending(n):
+    return {"coeff": jnp.zeros((n, 3), jnp.float32),
+            "t_light": jnp.zeros(n, jnp.float32),
+            "is_env": jnp.zeros(n, bool)}
+
+
 def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
                   rr_start=3, intersect_fn=None, occlude_fn=None,
                   use_nee=True, return_ray_count=False,
-                  shrink_schedule=None, sort_blocks=True):
+                  shrink_schedule=None, sort_blocks=True,
+                  nee_mode="twoarm"):
     """Estimate radiance along camera rays. Returns [N,3].
 
     Every bounce, all lanes: closest-hit, emission on camera/post-delta
@@ -108,6 +128,15 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
     `shrink_schedule` (optional, tuple of per-bounce static lane
     capacities, schedule[0] == N) switches to the compacting loop: see
     `path_radiance_compacted`.
+
+    nee_mode: "twoarm" traces a dedicated occlusion ray for the
+    BSDF-sampled MIS arm (the reference's structure,
+    src/directlighting.rs:155-222); "folded" shares the path's own BSDF
+    sample with that arm and resolves its visibility from the NEXT
+    bounce's closest hit (PBRT's one-sample fold) — one shadow traversal
+    per bounce instead of two, same expectation. RR-killed lanes trace
+    one extra resolution segment (t_max capped at the pending light) so
+    nothing owed is dropped; one epilogue trace resolves the last bounce.
     """
     if intersect_fn is None:
         intersect_fn = lambda r: isect_mod.intersect(scene.geom, r)
@@ -119,15 +148,18 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
             tuple(shrink_schedule), max_depth=max_depth, rr_start=rr_start,
             intersect_fn=intersect_fn, occlude_fn=occlude_fn,
             use_nee=use_nee, return_ray_count=return_ray_count,
-            sort_blocks=sort_blocks,
+            sort_blocks=sort_blocks, nee_mode=nee_mode,
         )
 
     n = rays.origin.shape[0]
+    folded = nee_mode == "folded" and use_nee and scene.num_lights > 0
 
     def body(bounce, state):
-        rays, radiance, beta, alive, specular_bounce, ray_count = state
-        # Closest-hit rays this bounce = currently-alive lanes.
-        ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
+        rays, radiance, beta, alive, specular_bounce, ray_count, pend = state
+        # Closest-hit rays this bounce = lanes with a live extent (alive
+        # paths + folded-mode resolution-only lanes).
+        ray_count = ray_count + jnp.sum((rays.t_max > 0.0).astype(
+            jnp.float32))
         hit = intersect_fn(rays)
 
         # Shading setup: one packed material lookup yields lobes + emission.
@@ -148,11 +180,19 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
         radiance = radiance + jnp.where(
             count_emission[..., None], beta * direct_seen, 0.0
         )
+        if folded:
+            radiance = _resolve_pending(pend, hit, env, radiance,
+                                        lambda r, c: r + c)
+            pend = _zero_pending(n)
 
         alive = alive & hit.hit
 
         frame = bsdf_mod.make_frame(hit.normal, hit.dpdu)
         wo = hit.wo
+
+        # Sample the BSDF for the next direction. [ref: pathintegrator.rs:38-62]
+        u_bsdf = sampler.u2(pixel_idx, sample_idx, bounce, smp.DIM_BSDF_UV)
+        f, wi, pdf, is_delta = bsdf_mod.sample_bsdf(lobes, frame, wo, u_bsdf)
 
         # Next-event estimation. [ref: pathintegrator.rs:35]
         if use_nee and scene.num_lights > 0:
@@ -162,20 +202,33 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
                                  smp.DIM_LIGHT_UV)
             u_scatter = sampler.u2(pixel_idx, sample_idx, bounce,
                                    smp.DIM_SCATTER_UV)
-            l_direct = nee.uniform_sample_one_light(
-                scene, lobes, frame, hit.pos, hit.normal, wo,
-                u_sel, u_light, u_scatter, occlude_fn=occlude_fn,
-                alive=alive,
-            )
+            if folded:
+                l_direct, new_pend = nee.uniform_sample_one_light(
+                    scene, lobes, frame, hit.pos, hit.normal, wo,
+                    u_sel, u_light, u_scatter, occlude_fn=occlude_fn,
+                    alive=alive, path_sample=(f, wi, pdf, is_delta),
+                )
+                pend = {
+                    "coeff": jnp.where(alive[..., None],
+                                       beta * new_pend["coeff"], 0.0),
+                    "t_light": jnp.where(alive, new_pend["t_light"], 0.0),
+                    "is_env": alive & new_pend["is_env"],
+                }
+                # One shadow batch per alive lane (light-sampled arm).
+                ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
+            else:
+                l_direct = nee.uniform_sample_one_light(
+                    scene, lobes, frame, hit.pos, hit.normal, wo,
+                    u_sel, u_light, u_scatter, occlude_fn=occlude_fn,
+                    alive=alive,
+                )
+                # Two shadow batches per alive lane (light + BSDF arms).
+                ray_count = ray_count + 2.0 * jnp.sum(
+                    alive.astype(jnp.float32))
             radiance = radiance + jnp.where(
                 alive[..., None], beta * l_direct, 0.0
             )
-            # Two shadow batches per alive lane (light-sampled + BSDF-sampled).
-            ray_count = ray_count + 2.0 * jnp.sum(alive.astype(jnp.float32))
 
-        # Sample the BSDF for the next direction. [ref: pathintegrator.rs:38-62]
-        u_bsdf = sampler.u2(pixel_idx, sample_idx, bounce, smp.DIM_BSDF_UV)
-        f, wi, pdf, is_delta = bsdf_mod.sample_bsdf(lobes, frame, wo, u_bsdf)
         cos_term = jnp.abs(vm.dot(wi, frame.n))
         step_ok = (pdf > 0.0) & (
             (f[..., 0] > 0.0) | (f[..., 1] > 0.0) | (f[..., 2] > 0.0)
@@ -200,10 +253,21 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
         )
         beta = beta * rr_scale[..., None]
         # Dead lanes get t_max=0 so traversal-ordered tracers never walk
-        # them on later bounces (the flat sweep masks them anyway).
-        rays = rays.replace(t_max=jnp.where(alive, rays.t_max, 0.0))
+        # them on later bounces (the flat sweep masks them anyway). In
+        # folded mode a dead lane still owing a pending resolution keeps
+        # a bounded extent for exactly one more trace.
+        if folded:
+            pend_valid = pend["is_env"] | (pend["t_light"] > 0.0)
+            resolve_tmax = jnp.where(
+                pend["is_env"], rays.t_max,
+                pend["t_light"] * (1.0 + 1e-3))
+            rays = rays.replace(t_max=jnp.where(
+                alive, rays.t_max,
+                jnp.where(pend_valid, resolve_tmax, 0.0)))
+        else:
+            rays = rays.replace(t_max=jnp.where(alive, rays.t_max, 0.0))
 
-        return rays, radiance, beta, alive, is_delta, ray_count
+        return rays, radiance, beta, alive, is_delta, ray_count, pend
 
     state = (
         rays,
@@ -212,11 +276,29 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
         jnp.ones(n, bool),
         jnp.zeros(n, bool),
         jnp.zeros((), jnp.float32),
+        _zero_pending(n),
     )
     state = jax.lax.fori_loop(0, max_depth, body, state)
+    rays, radiance, ray_count, pend = (state[0], state[1], state[5],
+                                       state[6])
+    if folded:
+        # Epilogue: one closest-hit resolves the final bounce's pending.
+        # Extent bounded to exactly what's owed: the chosen light's
+        # distance for area pendings, full extent for env pendings,
+        # nothing otherwise.
+        pend_valid = pend["is_env"] | (pend["t_light"] > 0.0)
+        e_tmax = jnp.where(pend["is_env"], rays.t_max,
+                           pend["t_light"] * (1.0 + 1e-3))
+        rays = rays.replace(t_max=jnp.where(pend_valid, e_tmax, 0.0))
+        ray_count = ray_count + jnp.sum((rays.t_max > 0.0).astype(
+            jnp.float32))
+        hit = intersect_fn(rays)
+        env = lt.eval_env(scene.env, rays.dir)
+        radiance = _resolve_pending(pend, hit, env, radiance,
+                                    lambda r, c: r + c)
     if return_ray_count:
-        return state[1], state[5]
-    return state[1]
+        return radiance, ray_count
+    return radiance
 
 
 COMPACT_BLOCK = 8  # lanes move in G-lane blocks; see path_radiance_compacted
@@ -296,16 +378,25 @@ def measure_alive(scene, sampler, pixel_idx, sample_idx, max_depth=5,
     return jnp.stack(counts)
 
 
-def _pack_state(rays, beta, pix, sid, orig, specular, alive):
-    """State -> one [M,15] f32 matrix so the compaction is a single
+STATE_COLS = 20
+
+
+def _pack_state(rays, beta, pix, sid, orig, specular, alive, pend=None):
+    """State -> one [M,20] f32 matrix so the compaction is a single
     row-gather (separate per-column gathers cost ~4x more on TPU; int
-    columns ride bitcast)."""
+    columns ride bitcast). Columns 15-19 carry the folded-NEE pending
+    contribution (coeff 3, t_light, is_env); zero in twoarm mode."""
     as_f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    n = rays.origin.shape[0]
+    if pend is None:
+        pend = _zero_pending(n)
     return jnp.concatenate([
         rays.origin, rays.dir, rays.t_max[:, None], beta,
         as_f(pix)[:, None], as_f(sid)[:, None], as_f(orig)[:, None],
         specular.astype(jnp.float32)[:, None],
         alive.astype(jnp.float32)[:, None],
+        pend["coeff"], pend["t_light"][:, None],
+        pend["is_env"].astype(jnp.float32)[:, None],
     ], axis=1)
 
 
@@ -318,7 +409,9 @@ def _unpack_state(s):
     orig = as_i(s[:, 12])
     specular = s[:, 13] > 0.5
     alive = s[:, 14] > 0.5
-    return rays, beta, pix, sid, orig, specular, alive
+    pend = {"coeff": s[:, 15:18], "t_light": s[:, 18],
+            "is_env": s[:, 19] > 0.5}
+    return rays, beta, pix, sid, orig, specular, alive, pend
 
 
 def _block_sort_key(rays, G):
@@ -346,7 +439,7 @@ def _block_sort_key(rays, G):
 
 
 def block_compact(rays, beta, pix, sid, orig, specular, alive, cap, u_c,
-                  sort_blocks=True):
+                  sort_blocks=True, pend=None):
     """Capacity roulette + one packed block row-gather to `cap` lanes.
 
     Roulette: keep probability p = min(1, 0.95 capB/aliveB) per
@@ -355,15 +448,26 @@ def block_compact(rays, beta, pix, sid, orig, specular, alive, cap, u_c,
     with schedule margins p == 1 in practice. sort_blocks orders the
     surviving blocks by (origin morton, direction octant) of their first
     lane: the gather costs the same, and compacted rows become spatially
-    coherent — what the row-shared treelet kernel wants."""
+    coherent — what the row-shared treelet kernel wants.
+
+    pend (folded NEE): pending contributions ride the packed rows; a lane
+    that is dead but still owes a resolution keeps its block alive and
+    its trace extent, and its pending coeff scales by 1/p like beta."""
     G = COMPACT_BLOCK
     cur = rays.origin.shape[0]
     curB, capB = cur // G, cap // G
-    balive = alive.reshape(curB, G).any(axis=1)
+    pend_valid = (jnp.zeros(cur, bool) if pend is None
+                  else pend["is_env"] | (pend["t_light"] > 0.0))
+    need = alive | pend_valid
+    balive = need.reshape(curB, G).any(axis=1)
     nb = jnp.sum(balive.astype(jnp.int32)).astype(jnp.float32)
     p = jnp.minimum(1.0, 0.95 * capB / jnp.maximum(nb, 1.0))
     keepb = balive & (u_c.reshape(curB, G)[:, 0] < p)
-    beta = beta * jnp.where(jnp.repeat(keepb, G), 1.0 / p, 1.0)[:, None]
+    inv_p = jnp.where(jnp.repeat(keepb, G), 1.0 / p, 1.0)[:, None]
+    beta = beta * inv_p
+    if pend is not None:
+        pend = dict(pend)
+        pend["coeff"] = pend["coeff"] * inv_p
     n_keep = jnp.sum(keepb.astype(jnp.int32))
     if sort_blocks:
         skey = _block_sort_key(rays, G)
@@ -378,24 +482,29 @@ def block_compact(rays, beta, pix, sid, orig, specular, alive, cap, u_c,
             jnp.where(keepb, dest, capB)
         ].set(iota, mode="drop")
     packed = _pack_state(rays, beta, pix, sid, orig, specular,
-                         alive).reshape(curB, G * 15)
-    sp = jnp.take(packed, selb, axis=0).reshape(capB * G, 15)
-    rays, beta, pix, sid, orig, specular, lane_alive = _unpack_state(sp)
+                         alive, pend).reshape(curB, G * STATE_COLS)
+    sp = jnp.take(packed, selb, axis=0).reshape(capB * G, STATE_COLS)
+    (rays, beta, pix, sid, orig, specular, lane_alive,
+     pend) = _unpack_state(sp)
     if sort_blocks:
         slot_alive = jnp.repeat(jnp.take(keepb, selb, axis=0), G)
     else:
         slot_alive = jnp.repeat(
             jnp.arange(capB, dtype=jnp.int32) < n_keep, G)
     alive = lane_alive & slot_alive
-    rays = rays.replace(t_max=jnp.where(alive, rays.t_max, 0.0))
-    return rays, beta, pix, sid, orig, specular, alive
+    lane_pend = pend["is_env"] | (pend["t_light"] > 0.0)
+    pend["is_env"] = pend["is_env"] & slot_alive
+    pend["t_light"] = jnp.where(slot_alive, pend["t_light"], 0.0)
+    keep_extent = alive | (lane_pend & slot_alive)
+    rays = rays.replace(t_max=jnp.where(keep_extent, rays.t_max, 0.0))
+    return rays, beta, pix, sid, orig, specular, alive, pend
 
 
 def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
                             schedule, max_depth=5, rr_start=3,
                             intersect_fn=None, occlude_fn=None,
                             use_nee=True, return_ray_count=False,
-                            sort_blocks=True):
+                            sort_blocks=True, nee_mode="twoarm"):
     """Masked bounce loop with a static shrink schedule.
 
     The TPU wavefront's cost is lane-count-proportional at every stage
@@ -430,6 +539,7 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
     n = rays.origin.shape[0]
     assert len(schedule) >= max_depth and schedule[0] >= n
 
+    folded = nee_mode == "folded" and use_nee and scene.num_lights > 0
     radiance = jnp.zeros((n, 3), jnp.float32)
     beta = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones(n, bool)
@@ -438,20 +548,43 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
     sid = sample_idx
     orig = jnp.arange(n, dtype=jnp.int32)
     ray_count = jnp.zeros((), jnp.float32)
+    pend = _zero_pending(n)
 
     G = COMPACT_BLOCK
+
+    def make_bank(orig, cur):
+        # Emission and NEE are scatter-added SEPARATELY so each lane's
+        # accumulation order matches the masked loop exactly (radiance +
+        # emission + nee; float addition is not associative). Until the
+        # first shrink the layout is the identity, so plain adds suffice;
+        # afterwards contributions land as G-lane block rows (blocks move
+        # atomically, so each lane's original block is orig//G of its
+        # first lane — block-row scatters cost 1/G of per-lane ones).
+        if cur == n:
+            return lambda radiance, contrib: radiance + contrib
+
+        def bank(radiance, contrib):
+            m = contrib.shape[0]
+            borig = orig.reshape(m // G, G)[:, 0] // G
+            return radiance.reshape(n // G, G * 3).at[borig].add(
+                contrib.reshape(m // G, G * 3), mode="drop"
+            ).reshape(n, 3)
+        return bank
+
     for bounce in range(max_depth):
         cap = min(schedule[bounce], n)
         cap -= cap % G
         cur = rays.origin.shape[0]
         if cap < cur:
             u_c = sampler.u1(pix, sid, bounce, smp.DIM_COMPACT)
-            (rays, beta, pix, sid, orig, specular,
-             alive) = block_compact(rays, beta, pix, sid, orig, specular,
-                                    alive, cap, u_c,
-                                    sort_blocks=sort_blocks)
+            (rays, beta, pix, sid, orig, specular, alive,
+             pend) = block_compact(rays, beta, pix, sid, orig, specular,
+                                   alive, cap, u_c,
+                                   sort_blocks=sort_blocks,
+                                   pend=pend if folded else None)
 
-        ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
+        ray_count = ray_count + jnp.sum((rays.t_max > 0.0).astype(
+            jnp.float32))
         hit = intersect_fn(rays)
         lobes, emit = mat_mod.shading_at(
             scene.materials, scene.textures, hit.mat_id, hit.uv, hit.pos
@@ -462,46 +595,49 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
             count_emission = alive & ((bounce == 0) | specular)
         else:
             count_emission = alive
-        # Emission and NEE are scatter-added SEPARATELY so each lane's
-        # accumulation order matches the masked loop exactly (radiance +
-        # emission + nee; float addition is not associative). Until the
-        # first shrink the layout is the identity, so plain adds suffice;
-        # afterwards contributions land as G-lane block rows (blocks move
-        # atomically, so each lane's original block is orig//G of its
-        # first lane — block-row scatters cost 1/G of per-lane ones).
-        compacted_yet = rays.origin.shape[0] < n
-
-        def bank(radiance, contrib):
-            if not compacted_yet:
-                return radiance + contrib
-            m = contrib.shape[0]
-            borig = orig.reshape(m // G, G)[:, 0] // G
-            return radiance.reshape(n // G, G * 3).at[borig].add(
-                contrib.reshape(m // G, G * 3), mode="drop"
-            ).reshape(n, 3)
+        bank = make_bank(orig, rays.origin.shape[0])
 
         radiance = bank(radiance, jnp.where(
             count_emission[..., None], beta * direct_seen, 0.0))
+        if folded:
+            radiance = _resolve_pending(pend, hit, env, radiance, bank)
+            pend = _zero_pending(rays.origin.shape[0])
 
         alive = alive & hit.hit
         frame = bsdf_mod.make_frame(hit.normal, hit.dpdu)
         wo = hit.wo
 
+        u_bsdf = sampler.u2(pix, sid, bounce, smp.DIM_BSDF_UV)
+        f, wi, pdf, is_delta = bsdf_mod.sample_bsdf(lobes, frame, wo, u_bsdf)
+
         if use_nee and scene.num_lights > 0:
             u_sel = sampler.u1(pix, sid, bounce, smp.DIM_LIGHT_SELECT)
             u_light = sampler.u2(pix, sid, bounce, smp.DIM_LIGHT_UV)
             u_scatter = sampler.u2(pix, sid, bounce, smp.DIM_SCATTER_UV)
-            l_direct = nee.uniform_sample_one_light(
-                scene, lobes, frame, hit.pos, hit.normal, wo,
-                u_sel, u_light, u_scatter, occlude_fn=occlude_fn,
-                alive=alive,
-            )
+            if folded:
+                l_direct, new_pend = nee.uniform_sample_one_light(
+                    scene, lobes, frame, hit.pos, hit.normal, wo,
+                    u_sel, u_light, u_scatter, occlude_fn=occlude_fn,
+                    alive=alive, path_sample=(f, wi, pdf, is_delta),
+                )
+                pend = {
+                    "coeff": jnp.where(alive[..., None],
+                                       beta * new_pend["coeff"], 0.0),
+                    "t_light": jnp.where(alive, new_pend["t_light"], 0.0),
+                    "is_env": alive & new_pend["is_env"],
+                }
+                ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
+            else:
+                l_direct = nee.uniform_sample_one_light(
+                    scene, lobes, frame, hit.pos, hit.normal, wo,
+                    u_sel, u_light, u_scatter, occlude_fn=occlude_fn,
+                    alive=alive,
+                )
+                ray_count = ray_count + 2.0 * jnp.sum(
+                    alive.astype(jnp.float32))
             radiance = bank(radiance, jnp.where(
                 alive[..., None], beta * l_direct, 0.0))
-            ray_count = ray_count + 2.0 * jnp.sum(alive.astype(jnp.float32))
 
-        u_bsdf = sampler.u2(pix, sid, bounce, smp.DIM_BSDF_UV)
-        f, wi, pdf, is_delta = bsdf_mod.sample_bsdf(lobes, frame, wo, u_bsdf)
         cos_term = jnp.abs(vm.dot(wi, frame.n))
         step_ok = (pdf > 0.0) & (
             (f[..., 0] > 0.0) | (f[..., 1] > 0.0) | (f[..., 2] > 0.0)
@@ -520,7 +656,30 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
             rr_active & alive, 1.0 / jnp.maximum(1.0 - q, 1e-6), 1.0)
         beta = beta * rr_scale[..., None]
         specular = is_delta
-        rays = rays.replace(t_max=jnp.where(alive, rays.t_max, 0.0))
+        if folded:
+            pend_valid = pend["is_env"] | (pend["t_light"] > 0.0)
+            resolve_tmax = jnp.where(
+                pend["is_env"], rays.t_max,
+                pend["t_light"] * (1.0 + 1e-3))
+            rays = rays.replace(t_max=jnp.where(
+                alive, rays.t_max,
+                jnp.where(pend_valid, resolve_tmax, 0.0)))
+        else:
+            rays = rays.replace(t_max=jnp.where(alive, rays.t_max, 0.0))
+
+    if folded:
+        # Epilogue: resolve the final bounce's pending (extent bounded to
+        # what's owed).
+        pend_valid = pend["is_env"] | (pend["t_light"] > 0.0)
+        e_tmax = jnp.where(pend["is_env"], rays.t_max,
+                           pend["t_light"] * (1.0 + 1e-3))
+        rays = rays.replace(t_max=jnp.where(pend_valid, e_tmax, 0.0))
+        ray_count = ray_count + jnp.sum((rays.t_max > 0.0).astype(
+            jnp.float32))
+        hit = intersect_fn(rays)
+        env = lt.eval_env(scene.env, rays.dir)
+        bank = make_bank(orig, rays.origin.shape[0])
+        radiance = _resolve_pending(pend, hit, env, radiance, bank)
 
     if return_ray_count:
         return radiance, ray_count
@@ -530,7 +689,8 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
 def render_samples(scene, sampler, pixel_idx, sample_idx, max_depth=5, msaa=2,
                    intersect_fn=None, occlude_fn=None, use_nee=True,
                    return_ray_count=False, filter_inv_cdf=None,
-                   shrink_schedule=None, sort_blocks=True):
+                   shrink_schedule=None, sort_blocks=True,
+                   nee_mode="twoarm"):
     """Camera rays + path integration for a (pixel, sample) batch."""
     rays, weight = camera_rays_weighted(
         scene, sampler, pixel_idx, sample_idx, msaa, filter_inv_cdf
@@ -539,7 +699,7 @@ def render_samples(scene, sampler, pixel_idx, sample_idx, max_depth=5, msaa=2,
         scene, rays, sampler, pixel_idx, sample_idx, max_depth=max_depth,
         intersect_fn=intersect_fn, occlude_fn=occlude_fn, use_nee=use_nee,
         return_ray_count=return_ray_count, shrink_schedule=shrink_schedule,
-        sort_blocks=sort_blocks,
+        sort_blocks=sort_blocks, nee_mode=nee_mode,
     )
     if weight is None:
         return out

@@ -81,7 +81,7 @@ class TunedRender:
     (radiance [N,3], traced_segment_count)."""
 
     def __init__(self, scene, sampler, depth, msaa, trace_mode, integ,
-                 schedule, isect_fn, occl_fn, label):
+                 schedule, isect_fn, occl_fn, label, nee_mode="twoarm"):
         self.scene = scene
         self.sampler = sampler
         self.depth = depth
@@ -92,6 +92,7 @@ class TunedRender:
         self.isect_fn = isect_fn
         self.occl_fn = occl_fn
         self.label = label
+        self.nee_mode = nee_mode
 
     def masked(self):
         """Twin configuration without the shrink schedule — for odd-sized
@@ -101,7 +102,7 @@ class TunedRender:
         return TunedRender(
             self.scene, self.sampler, self.depth, self.msaa,
             self.trace_mode, self.integ, None, self.isect_fn,
-            self.occl_fn, self.label + "/masked-tail")
+            self.occl_fn, self.label + "/masked-tail", self.nee_mode)
 
     def __call__(self, lanes, sample_ids):
         if self.integ is not None:
@@ -117,7 +118,8 @@ class TunedRender:
             self.scene, self.sampler, lanes, sample_ids,
             max_depth=self.depth, msaa=self.msaa,
             intersect_fn=self.isect_fn, occlude_fn=self.occl_fn,
-            return_ray_count=True, shrink_schedule=self.schedule)
+            return_ray_count=True, shrink_schedule=self.schedule,
+            nee_mode=self.nee_mode)
 
 
 def _measure(step, lanes, sample_ids, reps=2):
