@@ -146,7 +146,7 @@ def _masked_gather_w(idx_plane, scalar_fn, n_rows, n_keep):
 def _shade_kernel(
     *refs,
     n_mats, n_area, n_delta, present_kinds, light_shapes, n_slots,
-    textured_slots, has_env, env_is,
+    textured_slots, has_env, env_is, folded=False,
 ):
     (mats_ref, lights_ref, delta_ref, ints_ref, scal_ref) = refs[:5]
     (mhi_ref, mmid_ref, mlo_ref) = refs[5:8]
@@ -476,14 +476,25 @@ def _shade_kernel(
 
         alive = alive & hit
 
+        # ---- BSDF sample for the next direction (hoisted above NEE: in
+        # folded mode the NEE BSDF-sampled MIS arm shares this sample and
+        # the next bounce's closest hit resolves its visibility; the
+        # counter-based RNG makes draw order immaterial) ----
+        u_b0 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 0)
+        u_b1 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 1)
+        (bf_r, bf_g, bf_b, b_wlx, b_wly, b_wlz, b_pdf,
+         b_delta) = sample_mix(u_b0, u_b1)
+        wnx, wny, wnz = to_world(b_wlx, b_wly, b_wlz)
+
         # ---- NEE: one light among delta + area + env ----
         n_lights = n_delta + n_area + has_env
         if n_lights > 0:
             u_sel = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_SELECT)
             u_l0 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 0)
             u_l1 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 1)
-            u_s0 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 0)
-            u_s1 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 1)
+            if not folded:
+                u_s0 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 0)
+                u_s1 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 1)
             chosen = jnp.minimum(
                 (u_sel * n_lights).astype(jnp.int32), n_lights - 1
             )
@@ -891,9 +902,17 @@ def _shade_kernel(
 
             # -------- BSDF-sampled arm (area MIS + env) --------
             if n_area > 0 or has_env:
-                (sf_r, sf_g, sf_b, s_wlx, s_wly, s_wlz, s_pdf,
-                 s_delta) = sample_mix(u_s0, u_s1)
-                w2x, w2y, w2z = to_world(s_wlx, s_wly, s_wlz)
+                if folded:
+                    # The path's own continuation sample IS the arm's
+                    # sample (PBRT one-sample fold); visibility resolves
+                    # at the next bounce's closest hit.
+                    sf_r, sf_g, sf_b = bf_r, bf_g, bf_b
+                    s_pdf, s_delta = b_pdf, b_delta
+                    w2x, w2y, w2z = wnx, wny, wnz
+                else:
+                    (sf_r, sf_g, sf_b, s_wlx, s_wly, s_wlz, s_pdf,
+                     s_delta) = sample_mix(u_s0, u_s1)
+                    w2x, w2y, w2z = to_world(s_wlx, s_wly, s_wlz)
                 cos2a = jnp.abs(w2x * nx + w2y * ny + w2z * nz)
                 f2r = sf_r * cos2a
                 f2g = sf_g * cos2a
@@ -906,11 +925,13 @@ def _shade_kernel(
                     t_hit = jnp.zeros_like(rdx)
                     pdf_l2 = jnp.zeros_like(rdx)
 
-                dir2x = jnp.where(arm_env, w2x, t_hit * w2x)
-                dir2y = jnp.where(arm_env, w2y, t_hit * w2y)
-                dir2z = jnp.where(arm_env, w2z, t_hit * w2z)
-                side2 = jnp.where(
-                    dir2x * nx + dir2y * ny + dir2z * nz >= 0.0, 1.0, -1.0)
+                if not folded:
+                    dir2x = jnp.where(arm_env, w2x, t_hit * w2x)
+                    dir2y = jnp.where(arm_env, w2y, t_hit * w2y)
+                    dir2z = jnp.where(arm_env, w2z, t_hit * w2z)
+                    side2 = jnp.where(
+                        dir2x * nx + dir2y * ny + dir2z * nz >= 0.0,
+                        1.0, -1.0)
                 f_any = (f2r > 0.0) | (f2g > 0.0) | (f2b > 0.0)
 
                 valid_b = jnp.zeros_like(alive)
@@ -947,19 +968,23 @@ def _shade_kernel(
                                          * n_lights, 0.0)
                     spdf[...] = jnp.where(valid_e, s_pdf, 0.0)
 
-                s2dx[...] = dir2x
-                s2dy[...] = dir2y
-                s2dz[...] = dir2z
-                s2t[...] = jnp.where(
-                    valid_e, inf, jnp.where(valid_b, 1.0 - 1e-3, 0.0))
-                s2side[...] = side2
+                if folded:
+                    # No second shadow query: s2t carries the distance to
+                    # the chosen area light along the continuation ray
+                    # (>0 iff an area pending is owed); spdf>0 flags an
+                    # env pending. The driver resolves both from the next
+                    # bounce's closest hit.
+                    s2t[...] = jnp.where(valid_b, t_hit, 0.0)
+                else:
+                    s2dx[...] = dir2x
+                    s2dy[...] = dir2y
+                    s2dz[...] = dir2z
+                    s2t[...] = jnp.where(
+                        valid_e, inf, jnp.where(valid_b, 1.0 - 1e-3, 0.0))
+                    s2side[...] = side2
 
-        # ---- BSDF sample for the next direction ----
-        u_b0 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 0)
-        u_b1 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 1)
-        (bf_r, bf_g, bf_b, b_wlx, b_wly, b_wlz, b_pdf,
-         b_delta) = sample_mix(u_b0, u_b1)
-        wnx, wny, wnz = to_world(b_wlx, b_wly, b_wlz)
+        # ---- continuation: throughput update from the (hoisted) BSDF
+        # sample ----
         cosn = jnp.abs(wnx * nx + wny * ny + wnz * nz)
         f_any = (bf_r > 0.0) | (bf_g > 0.0) | (bf_b > 0.0)
         alive = alive & (b_pdf > 0.0) & f_any
@@ -998,11 +1023,12 @@ def _shade_kernel(
     jax.jit,
     static_argnames=("n_mats", "n_area", "n_delta", "present_kinds",
                      "light_shapes", "n_slots", "textured_slots", "has_env",
-                     "env_is", "interpret"),
+                     "env_is", "folded", "interpret"),
 )
 def _shade_call(mats, mats_splits, lights, delta, ints, scal, in_planes,
                 n_mats, n_area, n_delta, present_kinds, light_shapes,
-                n_slots, textured_slots, has_env, env_is, interpret):
+                n_slots, textured_slots, has_env, env_is, folded,
+                interpret):
     rows = in_planes[0].shape[0]
     grid = (rows // BLOCK_ROWS,)
     blk = lambda: pl.BlockSpec(
@@ -1013,7 +1039,7 @@ def _shade_call(mats, mats_splits, lights, delta, ints, scal, in_planes,
         _shade_kernel, n_mats=n_mats, n_area=n_area, n_delta=n_delta,
         present_kinds=present_kinds, light_shapes=light_shapes,
         n_slots=n_slots, textured_slots=textured_slots, has_env=has_env,
-        env_is=env_is,
+        env_is=env_is, folded=folded,
     )
     shp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     ishp = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -1046,12 +1072,16 @@ class FusedWaveIntegrator:
     trace-time instance groups)."""
 
     def __init__(self, scene, interpret=False, use_pallas=None,
-                 trace_mode=None):
+                 trace_mode=None, folded=False):
         from . import dispatch as trace_dispatch
         from .treelet import _split3
 
         self.scene = scene
         self.interpret = interpret
+        # folded NEE: the BSDF-sampled MIS arm rides the continuation ray
+        # (one shadow batch per bounce instead of two, one fewer in-kernel
+        # sample_mix); see integrators/nee.py path_sample.
+        self.folded = bool(folded)
         self.intersect_fn, self.occlude_fn = trace_dispatch.make_trace_fns(
             scene, use_pallas=use_pallas, interpret=interpret,
             trace_mode=trace_mode)
@@ -1132,14 +1162,18 @@ class FusedWaveIntegrator:
     # ------------------------------------------------------------------
 
     def _bounce_flat(self, sampler, rays, pix, sid, beta, alive_v, spec_v,
-                     bounce, rr_start):
+                     bounce, rr_start, pend=None):
         """One wave bounce over a flat [m] lane batch (Python-int bounce).
 
         Same math as the fori bounce_body in render_samples, restructured
         for the compacting driver: radiance contributions are RETURNED
         ([m,3]) instead of accumulated, so the caller can bank them to
         original pixel slots. Kept in lockstep with bounce_body;
-        tests/test_compaction.py pins equality of the two paths."""
+        tests/test_compaction.py pins equality of the two paths.
+
+        In folded mode `pend` (the previous bounce's owed MIS-arm
+        contribution) is resolved against THIS bounce's closest hit and
+        added to the returned contributions; the new pend is returned."""
         from ..integrators import wavefront
         from ..textures import textures as tex
 
@@ -1215,7 +1249,7 @@ class FusedWaveIntegrator:
             n_delta=self.n_delta, present_kinds=self.present_kinds,
             light_shapes=self.light_shapes, n_slots=self.n_slots,
             textured_slots=self.textured_slots, has_env=self.has_env,
-            env_is=self.env_is,
+            env_is=self.env_is, folded=self.folded,
             interpret=self.interpret,
         )
         (rr_, rg_, rb_,
@@ -1233,6 +1267,61 @@ class FusedWaveIntegrator:
             return ray_mod.RayBatch(origin=o, dir=d, t_max=unprep(st))
 
         sh1 = shadow_batch(s1dx, s1dy, s1dz, s1t, s1side)
+        c1 = jnp.stack([unprep(c1r), unprep(c1g), unprep(c1b)], axis=-1)
+        c2 = jnp.stack([unprep(c2r), unprep(c2g), unprep(c2b)], axis=-1)
+        ec = jnp.stack([unprep(ecr), unprep(ecg), unprep(ecb)], axis=-1)
+        emit = jnp.stack([unprep(rr_), unprep(rg_), unprep(rb_)], axis=-1)
+
+        nd = jnp.stack([unprep(ndx), unprep(ndy), unprep(ndz)], axis=-1)
+        no = pos + unprep(nside)[:, None] * nrm * SPAWN_EPS
+        alive_next = unprep(alive_o) > 0
+        new_beta = jnp.stack(
+            [unprep(br_), unprep(bg_), unprep(bb_)], axis=-1)
+        alive_after_hit = alive_v & hit.hit
+        has_lights = self.n_area + self.n_delta + self.has_env > 0
+
+        if self.folded:
+            # Resolve the PREVIOUS bounce's pending against this hit.
+            contrib = emit
+            if pend is not None:
+                env_here = lt.eval_env(scene.env, rays.dir)
+                vis_area = hit.t >= pend["t_light"] * (1.0 - 1e-3)
+                okp = jnp.where(pend["is_env"], ~hit.hit,
+                                (pend["t_light"] > 0.0) & vis_area)
+                pc = jnp.where(pend["is_env"][:, None],
+                               pend["coeff"] * env_here, pend["coeff"])
+                contrib = contrib + jnp.where(okp[:, None], pc, 0.0)
+            occ1 = self.occlude_fn(sh1) & (sh1.t_max > 0.0)
+            contrib = contrib + jnp.where(occ1[:, None], 0.0, c1)
+            # New pending from this bounce: area coeff c2 (t_light in
+            # s2t), env coeff ec MIS-weighted against pdf_env(next dir).
+            if self.env_is:
+                from ..lights import env_sampling as es
+
+                p_b = unprep(spdf_o)
+                p_e = es.pdf_env(scene.env.dist, nd)
+                w_e = p_b * p_b / jnp.maximum(p_b * p_b + p_e * p_e, 1e-30)
+                ec = ec * jnp.where(p_b > 0.0, w_e, 0.0)[:, None]
+            t_light = unprep(s2t)
+            is_env_p = unprep(spdf_o) > 0.0 if self.has_env else (
+                jnp.zeros(t_light.shape[0], bool))
+            new_pend = {"coeff": c2 + ec, "t_light": t_light,
+                        "is_env": is_env_p}
+            shadow_lanes = (
+                jnp.sum(alive_after_hit.astype(jnp.float32))
+                if has_lights else 0.0)
+            # Dead lanes owing a pending keep a bounded extent for one
+            # resolution trace; env pendings need the full extent.
+            pend_valid = is_env_p | (t_light > 0.0)
+            tnext = jnp.where(
+                alive_next, jnp.inf,
+                jnp.where(is_env_p, jnp.inf,
+                          jnp.where(pend_valid, t_light * (1.0 + 1e-3),
+                                    0.0)))
+            new_rays = ray_mod.RayBatch(origin=no, dir=nd, t_max=tnext)
+            return (contrib, new_rays, new_beta, alive_next,
+                    unprep(spec_o) > 0, shadow_lanes, new_pend)
+
         sh2 = shadow_batch(s2dx, s2dy, s2dz, s2t, s2side)
         # One occlusion launch for both shadow batches: same traced
         # lanes, half the kernel fixed costs; rows stay internally
@@ -1246,9 +1335,6 @@ class FusedWaveIntegrator:
         occ1 = occb[:m_sh] & (sh1.t_max > 0.0)
         occ2 = occb[m_sh:] & (sh2.t_max > 0.0)
 
-        c1 = jnp.stack([unprep(c1r), unprep(c1g), unprep(c1b)], axis=-1)
-        c2 = jnp.stack([unprep(c2r), unprep(c2g), unprep(c2b)], axis=-1)
-        ec = jnp.stack([unprep(ecr), unprep(ecg), unprep(ecb)], axis=-1)
         env2 = lt.eval_env(scene.env, sh2.dir)
         if self.env_is:
             from ..lights import env_sampling as es
@@ -1257,29 +1343,22 @@ class FusedWaveIntegrator:
             p_e = es.pdf_env(scene.env.dist, sh2.dir)
             w_e = p_b * p_b / jnp.maximum(p_b * p_b + p_e * p_e, 1e-30)
             ec = ec * jnp.where(p_b > 0.0, w_e, 0.0)[:, None]
-        emit = jnp.stack([unprep(rr_), unprep(rg_), unprep(rb_)], axis=-1)
         contrib = (
             emit
             + jnp.where(occ1[:, None], 0.0, c1)
             + jnp.where(occ2[:, None], 0.0, c2 + ec * env2)
         )
 
-        alive_after_hit = alive_v & hit.hit
         shadow_lanes = (
             2.0 * jnp.sum(alive_after_hit.astype(jnp.float32))
-            if self.n_area + self.n_delta + self.has_env > 0 else 0.0
+            if has_lights else 0.0
         )
 
-        nd = jnp.stack([unprep(ndx), unprep(ndy), unprep(ndz)], axis=-1)
-        no = pos + unprep(nside)[:, None] * nrm * SPAWN_EPS
-        alive_next = unprep(alive_o) > 0
         new_rays = ray_mod.RayBatch(
             origin=no, dir=nd,
             t_max=jnp.where(alive_next, jnp.inf, 0.0))
-        new_beta = jnp.stack(
-            [unprep(br_), unprep(bg_), unprep(bb_)], axis=-1)
         return (contrib, new_rays, new_beta, alive_next,
-                unprep(spec_o) > 0, shadow_lanes)
+                unprep(spec_o) > 0, shadow_lanes, None)
 
     def render_samples_compacted(self, sampler, pixel_idx, sample_idx,
                                  schedule, max_depth=5, msaa=2, rr_start=3,
@@ -1304,6 +1383,16 @@ class FusedWaveIntegrator:
         sid = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.int32), (n,))
         orig = jnp.arange(n, dtype=jnp.int32)
         ray_count = jnp.zeros((), jnp.float32)
+        pend = wavefront._zero_pending(n) if self.folded else None
+
+        def bank(contrib, radiance, orig):
+            m = contrib.shape[0]
+            if m == n:
+                return radiance + contrib
+            borig = orig.reshape(m // G, G)[:, 0] // G
+            return radiance.reshape(n // G, G * 3).at[borig].add(
+                contrib.reshape(m // G, G * 3), mode="drop"
+            ).reshape(n, 3)
 
         for bounce in range(max_depth):
             cap = min(schedule[bounce], n)
@@ -1312,25 +1401,39 @@ class FusedWaveIntegrator:
             if cap < cur:
                 u_c = sampler.u1(pix, sid, bounce, smp.DIM_COMPACT)
                 (rays, beta, pix, sid, orig, specular,
-                 alive, _) = wavefront.block_compact(
+                 alive, pend_out) = wavefront.block_compact(
                     rays, beta, pix, sid, orig, specular, alive, cap, u_c,
-                    sort_blocks=sort_blocks)
+                    sort_blocks=sort_blocks, pend=pend)
+                if self.folded:
+                    pend = pend_out
 
-            ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
+            ray_count = ray_count + jnp.sum(
+                (rays.t_max > 0.0).astype(jnp.float32))
             (contrib, rays, beta, alive, specular,
-             shadow_lanes) = self._bounce_flat(
+             shadow_lanes, pend) = self._bounce_flat(
                 sampler, rays, pix, sid, beta, alive, specular, bounce,
-                rr_start)
+                rr_start, pend=pend)
             ray_count = ray_count + shadow_lanes
+            radiance = bank(contrib, radiance, orig)
 
-            m = contrib.shape[0]
-            if m == n:
-                radiance = radiance + contrib
-            else:
-                borig = orig.reshape(m // G, G)[:, 0] // G
-                radiance = radiance.reshape(n // G, G * 3).at[borig].add(
-                    contrib.reshape(m // G, G * 3), mode="drop"
-                ).reshape(n, 3)
+        if self.folded:
+            # Epilogue: one bounded closest-hit resolves the last
+            # bounce's pending (see wavefront.path_radiance folded).
+            pend_valid = pend["is_env"] | (pend["t_light"] > 0.0)
+            e_tmax = jnp.where(pend["is_env"], rays.t_max,
+                               pend["t_light"] * (1.0 + 1e-3))
+            rays = rays.replace(t_max=jnp.where(pend_valid, e_tmax, 0.0))
+            ray_count = ray_count + jnp.sum(
+                (rays.t_max > 0.0).astype(jnp.float32))
+            hit = self.intersect_fn(rays)
+            env_here = lt.eval_env(scene.env, rays.dir)
+            vis_area = hit.t >= pend["t_light"] * (1.0 - 1e-3)
+            okp = jnp.where(pend["is_env"], ~hit.hit,
+                            (pend["t_light"] > 0.0) & vis_area)
+            pc = jnp.where(pend["is_env"][:, None],
+                           pend["coeff"] * env_here, pend["coeff"])
+            radiance = bank(jnp.where(okp[:, None], pc, 0.0), radiance,
+                            orig)
 
         if return_ray_count:
             return radiance, ray_count
@@ -1376,7 +1479,7 @@ class FusedWaveIntegrator:
         # the unrolled form).
         def bounce_body(bounce, state):
             (ray_o, ray_d, ray_t, radiance, beta0, beta1, beta2,
-             alive_pl, spec_pl, ray_count) = state
+             alive_pl, spec_pl, ray_count, pend) = state
             rays = ray_mod.RayBatch(origin=ray_o, dir=ray_d, t_max=ray_t)
             beta = (beta0, beta1, beta2)
             alive_v = unprep(alive_pl) > 0
@@ -1386,7 +1489,8 @@ class FusedWaveIntegrator:
                 (bounce == 0).astype(jnp.int32),
                 (bounce > rr_start).astype(jnp.int32),
             ])
-            ray_count = ray_count + jnp.sum(alive_v.astype(jnp.float32))
+            ray_count = ray_count + jnp.sum(
+                (rays.t_max > 0.0).astype(jnp.float32))
             hit = self.intersect_fn(rays)
             env_here = lt.eval_env(scene.env, rays.dir)
 
@@ -1439,7 +1543,7 @@ class FusedWaveIntegrator:
                 n_delta=self.n_delta, present_kinds=self.present_kinds,
                 light_shapes=self.light_shapes, n_slots=self.n_slots,
                 textured_slots=self.textured_slots, has_env=self.has_env,
-                env_is=self.env_is,
+                env_is=self.env_is, folded=self.folded,
                 interpret=self.interpret,
             )
             (rr_, rg_, rb_,
@@ -1458,6 +1562,53 @@ class FusedWaveIntegrator:
                 return ray_mod.RayBatch(origin=o, dir=d, t_max=unprep(st))
 
             sh1 = shadow_batch(s1dx, s1dy, s1dz, s1t, s1side)
+            c1 = jnp.stack([unprep(c1r), unprep(c1g), unprep(c1b)], axis=-1)
+            c2 = jnp.stack([unprep(c2r), unprep(c2g), unprep(c2b)], axis=-1)
+            ec = jnp.stack([unprep(ecr), unprep(ecg), unprep(ecb)], axis=-1)
+            emit = jnp.stack([unprep(rr_), unprep(rg_), unprep(rb_)],
+                             axis=-1)
+            nd = jnp.stack([unprep(ndx), unprep(ndy), unprep(ndz)], axis=-1)
+            no = pos + unprep(nside)[:, None] * nrm * SPAWN_EPS
+            alive_next = unprep(alive_o) > 0
+            alive_after_hit = alive_v & hit.hit
+            has_lights = self.n_area + self.n_delta + self.has_env > 0
+
+            if self.folded:
+                # Resolve the previous bounce's pending against this hit.
+                vis_area = hit.t >= pend["t_light"] * (1.0 - 1e-3)
+                okp = jnp.where(pend["is_env"], ~hit.hit,
+                                (pend["t_light"] > 0.0) & vis_area)
+                pc = jnp.where(pend["is_env"][:, None],
+                               pend["coeff"] * env_here, pend["coeff"])
+                radiance = radiance + jnp.where(okp[:, None], pc, 0.0)
+                occ1 = self.occlude_fn(sh1) & (sh1.t_max > 0.0)
+                radiance = (radiance + emit
+                            + jnp.where(occ1[:, None], 0.0, c1))
+                if self.env_is:
+                    from ..lights import env_sampling as es
+
+                    p_b = unprep(spdf_o)
+                    p_e = es.pdf_env(scene.env.dist, nd)
+                    w_e = p_b * p_b / jnp.maximum(
+                        p_b * p_b + p_e * p_e, 1e-30)
+                    ec = ec * jnp.where(p_b > 0.0, w_e, 0.0)[:, None]
+                t_light = unprep(s2t)
+                is_env_p = (unprep(spdf_o) > 0.0 if self.has_env else
+                            jnp.zeros(t_light.shape[0], bool))
+                pend = {"coeff": c2 + ec, "t_light": t_light,
+                        "is_env": is_env_p}
+                if has_lights:
+                    ray_count = ray_count + jnp.sum(
+                        alive_after_hit.astype(jnp.float32))
+                pend_valid = is_env_p | (t_light > 0.0)
+                tnext = jnp.where(
+                    alive_next, jnp.inf,
+                    jnp.where(is_env_p, jnp.inf,
+                              jnp.where(pend_valid,
+                                        t_light * (1.0 + 1e-3), 0.0)))
+                return (no, nd, tnext, radiance, br_, bg_, bb_,
+                        alive_o, spec_o, ray_count, pend)
+
             sh2 = shadow_batch(s2dx, s2dy, s2dz, s2t, s2side)
             # One occlusion launch for both shadow batches (see
             # _bounce_flat).
@@ -1470,9 +1621,6 @@ class FusedWaveIntegrator:
             occ1 = occb[:m_sh] & (sh1.t_max > 0.0)
             occ2 = occb[m_sh:] & (sh2.t_max > 0.0)
 
-            c1 = jnp.stack([unprep(c1r), unprep(c1g), unprep(c1b)], axis=-1)
-            c2 = jnp.stack([unprep(c2r), unprep(c2g), unprep(c2b)], axis=-1)
-            ec = jnp.stack([unprep(ecr), unprep(ecg), unprep(ecb)], axis=-1)
             env2 = lt.eval_env(scene.env, sh2.dir)
             if self.env_is:
                 # MIS against the env distribution on the BSDF-sampled arm.
@@ -1482,30 +1630,47 @@ class FusedWaveIntegrator:
                 p_e = es.pdf_env(scene.env.dist, sh2.dir)
                 w_e = p_b * p_b / jnp.maximum(p_b * p_b + p_e * p_e, 1e-30)
                 ec = ec * jnp.where(p_b > 0.0, w_e, 0.0)[:, None]
-            emit = jnp.stack([unprep(rr_), unprep(rg_), unprep(rb_)],
-                             axis=-1)
             radiance = (
                 radiance + emit
                 + jnp.where(occ1[:, None], 0.0, c1)
                 + jnp.where(occ2[:, None], 0.0, c2 + ec * env2)
             )
-            alive_after_hit = alive_v & hit.hit
-            if self.n_area + self.n_delta + self.has_env > 0:
+            if has_lights:
                 ray_count = ray_count + 2.0 * jnp.sum(
                     alive_after_hit.astype(jnp.float32))
 
             # next rays
-            nd = jnp.stack([unprep(ndx), unprep(ndy), unprep(ndz)], axis=-1)
-            no = pos + unprep(nside)[:, None] * nrm * SPAWN_EPS
-            alive_next = unprep(alive_o) > 0
             return (no, nd, jnp.where(alive_next, jnp.inf, 0.0),
-                    radiance, br_, bg_, bb_, alive_o, spec_o, ray_count)
+                    radiance, br_, bg_, bb_, alive_o, spec_o, ray_count,
+                    pend)
 
+        pend0 = wavefront._zero_pending(n)
         state = (rays.origin, rays.dir, rays.t_max, radiance,
-                 beta[0], beta[1], beta[2], alive_pl, spec_pl, ray_count)
+                 beta[0], beta[1], beta[2], alive_pl, spec_pl, ray_count,
+                 pend0)
         state = jax.lax.fori_loop(0, max_depth, bounce_body, state)
         radiance = state[3]
         ray_count = state[9]
+
+        if self.folded:
+            rays = ray_mod.RayBatch(origin=state[0], dir=state[1],
+                                    t_max=state[2])
+            pend = state[10]
+            # Epilogue: one bounded closest-hit resolves the final pending.
+            pend_valid = pend["is_env"] | (pend["t_light"] > 0.0)
+            e_tmax = jnp.where(pend["is_env"], rays.t_max,
+                               pend["t_light"] * (1.0 + 1e-3))
+            rays = rays.replace(t_max=jnp.where(pend_valid, e_tmax, 0.0))
+            ray_count = ray_count + jnp.sum(
+                (rays.t_max > 0.0).astype(jnp.float32))
+            hit = self.intersect_fn(rays)
+            env_here = lt.eval_env(scene.env, rays.dir)
+            vis_area = hit.t >= pend["t_light"] * (1.0 - 1e-3)
+            okp = jnp.where(pend["is_env"], ~hit.hit,
+                            (pend["t_light"] > 0.0) & vis_area)
+            pc = jnp.where(pend["is_env"][:, None],
+                           pend["coeff"] * env_here, pend["coeff"])
+            radiance = radiance + jnp.where(okp[:, None], pc, 0.0)
 
         if return_ray_count:
             return radiance, ray_count

@@ -140,11 +140,22 @@ def _measure(step, lanes, sample_ids, reps=2):
     return float(np.median(ts))
 
 
-def _auto_sched(scene, sampler, lanes, sample_ids, depth, msaa, isect_fn):
+def _auto_sched(scene, sampler, lanes, sample_ids, depth, msaa, isect_fn,
+                folded=False):
     counts = np.asarray(jax.jit(
         lambda: wavefront.measure_alive(
             scene, sampler, lanes, sample_ids, max_depth=depth, msaa=msaa,
             intersect_fn=isect_fn))())
+    if folded:
+        # Folded NEE: a lane that dies at bounce b-1 still owes its
+        # pending MIS-arm resolution at bounce b, and its block must keep
+        # capacity (block_compact keeps need = alive | pend_valid). Pend
+        # lanes at b were alive during b-1's shade, so lagging the covered
+        # counts by one bounce is an exact bound — the roulette keep
+        # probability stays 1 and the folded compacted estimator matches
+        # the folded masked one (tests/test_fused_wave.py).
+        counts = np.maximum(counts, np.concatenate([counts[:1],
+                                                    counts[:-1]]))
     n = int(lanes.shape[0])
     sched = wavefront.auto_schedule(counts, n)
     if all(c >= n for c in sched):
@@ -199,34 +210,53 @@ def tune(scene, sampler, lanes, sample_ids, depth=5, msaa=2,
     for mode in modes:
         isect_fn, occl_fn = trace_dispatch.make_trace_fns(
             scene, trace_mode=mode)
-        sched = None
+        sched = sched_folded = None
         if any(compacts):
             try:
                 sched = _auto_sched(scene, sampler, lanes, sample_ids,
                                     depth, msaa, isect_fn)
+                sched_folded = _auto_sched(scene, sampler, lanes,
+                                           sample_ids, depth, msaa,
+                                           isect_fn, folded=True)
             except Exception as e:  # a broken mode must not kill the tune
                 log(f"{mode or 'onehot'}: pilot failed "
                     f"({type(e).__name__}: {e})")
-                sched = None
+                sched = sched_folded = None
             if sched is None:
                 log(f"{mode or 'onehot'}: schedule never shrinks; "
                     "compaction candidates skipped")
         mname = mode or "onehot"
-        integs = [(None, "general")]
+        # The general path is measured in both NEE structures: "twoarm"
+        # (a dedicated occlusion ray for the BSDF-sampled MIS arm, the
+        # reference's shape) and "folded" (the path's continuation ray IS
+        # that arm's visibility query — one shadow batch per bounce,
+        # identical expectation; tests/test_folded_nee.py). The wave
+        # megakernel gets the same pair.
+        integs = [(None, "general", "twoarm"), (None, "general-folded",
+                                                "folded")]
+        if scene.num_lights == 0:
+            integs = integs[:1]  # folded == twoarm with no lights
         if wave_ok:
             integs.append(
-                (fw.FusedWaveIntegrator(scene, trace_mode=mode), "wave"))
+                (fw.FusedWaveIntegrator(scene, trace_mode=mode), "wave",
+                 "twoarm"))
+            if scene.num_lights > 0:
+                integs.append(
+                    (fw.FusedWaveIntegrator(scene, trace_mode=mode,
+                                            folded=True),
+                     "wave-folded", "folded"))
         seen = set()
-        for integ, iname in integs:
+        for integ, iname, nmode in integs:
             for comp in compacts:
-                s = sched if comp else None
+                s = (sched_folded if nmode == "folded" else sched) \
+                    if comp else None
                 label = f"{iname}/{mname}{'/compact' if s else ''}"
                 if label in seen:
                     continue  # compact=True with no shrink == masked
                 seen.add(label)
                 candidates.append(TunedRender(
                     scene, sampler, depth, msaa, mode, integ, s,
-                    isect_fn, occl_fn, label))
+                    isect_fn, occl_fn, label, nee_mode=nmode))
 
     if len(candidates) == 1:
         return candidates[0]

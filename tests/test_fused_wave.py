@@ -61,6 +61,19 @@ def _zoo_scene():
     return b.build()
 
 
+def _center_pix(scene, pix_n):
+    """A pix_n x pix_n block at the image center. arange(n) picks the top
+    rows, which in a full-res preset (cornell is 600x600) see only
+    background — equality there is vacuous. Center pixels are lit, and the
+    compare helpers assert that."""
+    w, h = scene.camera.width, scene.camera.height
+    if w <= pix_n and h <= pix_n:
+        return jnp.arange(pix_n * pix_n)
+    ys, xs = np.mgrid[h // 2 - pix_n // 2:h // 2 + (pix_n + 1) // 2,
+                      w // 2 - pix_n // 2:w // 2 + (pix_n + 1) // 2]
+    return jnp.asarray((ys * w + xs).ravel())
+
+
 def test_eligibility():
     assert fw.scene_supports_wave(_zoo_scene())
     assert fw.scene_supports_wave(presets.cornell_box())
@@ -70,7 +83,7 @@ def test_eligibility():
 
 def _compare(scene, pix_n=24, depth=5, samples=(0, 3), atol=3e-5):
     sampler = smp.PCGSampler(0)
-    pix = jnp.arange(pix_n * pix_n)
+    pix = _center_pix(scene, pix_n)
     isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene,
                                                       use_pallas=False)
     integ = fw.FusedWaveIntegrator(scene, interpret=True, use_pallas=False)
@@ -82,6 +95,7 @@ def _compare(scene, pix_n=24, depth=5, samples=(0, 3), atol=3e-5):
             scene, sampler, pix, s, max_depth=depth, msaa=2,
             intersect_fn=isect_fn, occlude_fn=occl_fn,
         ))
+        assert rad_j.sum() > 0.0  # non-vacuous: the block must be lit
         np.testing.assert_allclose(rad_f, rad_j, atol=atol, rtol=2e-4)
 
 
@@ -107,3 +121,88 @@ def test_ray_counts_match_general_path():
         scene, sampler, pix, 0, max_depth=3, msaa=2,
         intersect_fn=isect_fn, occlude_fn=occl_fn, return_ray_count=True)
     assert float(cnt_f) == float(cnt_j)
+
+
+def _compare_folded(scene, pix_n=24, depth=5, samples=(0,), atol=3e-5):
+    """Wave-folded vs general-folded on identical RNG streams: the folded
+    estimator (BSDF-sampled MIS arm resolved by the next bounce's closest
+    hit) must agree between the megakernel and the jnp wavefront."""
+    sampler = smp.PCGSampler(0)
+    pix = _center_pix(scene, pix_n)
+    isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene,
+                                                      use_pallas=False)
+    integ = fw.FusedWaveIntegrator(scene, interpret=True, use_pallas=False,
+                                   folded=True)
+    for s in samples:
+        rad_f = np.asarray(
+            integ.render_samples(sampler, pix, s, max_depth=depth, msaa=2)
+        )
+        rad_j = np.asarray(wavefront.render_samples(
+            scene, sampler, pix, s, max_depth=depth, msaa=2,
+            intersect_fn=isect_fn, occlude_fn=occl_fn, nee_mode="folded",
+        ))
+        assert rad_j.sum() > 0.0  # non-vacuous: the block must be lit
+        np.testing.assert_allclose(rad_f, rad_j, atol=atol, rtol=2e-4)
+
+
+def test_folded_cornell_matches_general_folded():
+    _compare_folded(presets.cornell_box(), pix_n=20, depth=4)
+
+
+@pytest.mark.slow
+def test_folded_zoo_matches_general_folded():
+    _compare_folded(_zoo_scene(), depth=4)
+
+
+def test_folded_ray_counts_match_general_folded():
+    scene = presets.cornell_box()
+    sampler = smp.PCGSampler(0)
+    pix = jnp.arange(16 * 16)
+    isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene,
+                                                      use_pallas=False)
+    integ = fw.FusedWaveIntegrator(scene, interpret=True, use_pallas=False,
+                                   folded=True)
+    _, cnt_f = integ.render_samples(sampler, pix, 0, max_depth=3, msaa=2,
+                                    return_ray_count=True)
+    _, cnt_j = wavefront.render_samples(
+        scene, sampler, pix, 0, max_depth=3, msaa=2,
+        intersect_fn=isect_fn, occlude_fn=occl_fn, nee_mode="folded",
+        return_ray_count=True)
+    assert float(cnt_f) == float(cnt_j)
+
+
+def test_folded_compacted_matches_folded_masked_wave():
+    """Open scene + folded-lagged measured schedule: the capacity margin
+    holds (keep probability 1, including the blocks that only owe a
+    pending resolution), so the compacted folded wave must equal the
+    masked folded wave exactly. A closed scene (cornell) cannot shrink
+    without roulette — that comparison would be testing variance, not the
+    compaction plumbing."""
+    from pbrs_tpu.geometry import camera as cam_mod
+
+    scene = presets.mesh_ball(levels=2)
+    cam = scene.camera
+    fresh = cam_mod.make_camera((32, 24), 35.0)
+    scene = scene.replace(camera=fresh.replace(
+        center=cam.center, orientation=cam.orientation, c=cam.c,
+        a=cam.a * (cam.width // 2) / 16, b=cam.b * (cam.height // 2) / 12,
+    ))
+    sampler = smp.PCGSampler(7)
+    n = 32 * 24
+    pix = jnp.arange(n, dtype=jnp.int32)
+    depth = 4
+
+    counts = np.asarray(wavefront.measure_alive(
+        scene, sampler, pix, 0, max_depth=depth, msaa=2))
+    lagged = np.maximum(counts, np.concatenate([counts[:1], counts[:-1]]))
+    sched = wavefront.auto_schedule(lagged, n, min_cap=128, quantum=64)
+    assert any(c < n for c in sched[1:]), (sched, counts)
+
+    integ = fw.FusedWaveIntegrator(scene, interpret=True, use_pallas=False,
+                                   folded=True)
+    rad_m = np.asarray(
+        integ.render_samples(sampler, pix, 0, max_depth=depth, msaa=2))
+    assert rad_m.sum() > 0.0  # non-vacuous
+    rad_c = np.asarray(integ.render_samples_compacted(
+        sampler, pix, 0, sched, max_depth=depth, msaa=2))
+    np.testing.assert_allclose(rad_c, rad_m, atol=3e-5, rtol=2e-4)

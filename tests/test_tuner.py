@@ -23,8 +23,10 @@ def _small_scene():
 
 def test_tune_selects_and_matches_reference():
     """tune() must return a runnable winner whose image agrees with the
-    plain masked wavefront (candidates are estimator-identical; failing
-    candidates — e.g. fused kernels on the CPU backend — are skipped)."""
+    plain masked wavefront of the SAME NEE structure (twoarm and folded
+    candidates share the expectation but not the per-sample estimate, so
+    the reference follows the winner's nee_mode; failing candidates —
+    e.g. fused kernels on the CPU backend — are skipped)."""
     scene = _small_scene()
     sampler = smp.PCGSampler(3)
     n = 64 * 48
@@ -35,7 +37,7 @@ def test_tune_selects_and_matches_reference():
     assert tuned.label
     rad, count = tuned(pix, sid)
     ref = wavefront.render_samples(scene, sampler, pix, sid, max_depth=4,
-                                   msaa=2)
+                                   msaa=2, nee_mode=tuned.nee_mode)
     np.testing.assert_allclose(np.asarray(rad), np.asarray(ref),
                                atol=1e-5, rtol=1e-4)
     assert float(count) > 0
