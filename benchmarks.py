@@ -109,7 +109,7 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
         mrays = sorted(rates)[1]
         iters_samples = iters * samples_per_launch
         full_time = dt / iters_samples * (msaa * msaa)
-        return {
+        out = {
             "config": name, "resolution": list(size), "spp": msaa * msaa,
             "depth": depth, "mrays_per_sec": round(mrays, 2),
             "wall_to_target_spp_sec": round(full_time, 3),
@@ -117,6 +117,26 @@ def run_config(name, scene, size, spp, depth, integrator="path"):
             "samples_per_launch": samples_per_launch,
             "tuned": tuned_label,
         }
+        if tuned.nee_mode == "folded":
+            # Folded NEE completes the same image with ~1/3 fewer traced
+            # segments, so its raw Mrays/s is NOT comparable to the
+            # twoarm structure (the reference's, and rounds 1-3's
+            # numbers). equiv_twoarm_mrays_per_sec = the segment count a
+            # twoarm renderer needs for the same launches, divided by the
+            # measured folded wall — the apples-to-apples rate.
+            def count2(lanes, base):
+                _, cnt = wavefront.render_samples(
+                    scene, sampler, lanes, sample_ids(base),
+                    max_depth=depth, msaa=msaa,
+                    intersect_fn=tuned.isect_fn, occlude_fn=tuned.occl_fn,
+                    return_ray_count=True)
+                return cnt
+            f2 = jax.jit(count2)
+            cnt_two = sum(float(f2(lanes, samples_per_launch))
+                          for lanes in lanes_chunks)
+            out["equiv_twoarm_mrays_per_sec"] = round(
+                cnt_two * iters / dt / 1e6, 2)
+        return out
     if True:
         trace_mode = os.environ.get("PBRS_TRACE_MODE") or None
         isect_fn, occl_fn = td.make_trace_fns(scene, trace_mode=trace_mode)
@@ -208,7 +228,6 @@ def main():
         "two_perlin_textured_800", presets.two_perlin_spheres(),
         (800, 800), 4, 5,
     ))
-    print(json.dumps(results[-1]), file=sys.stderr, flush=True)
 
     # BASELINE configs 4+5: the authored PBRT interior (scenes/interior) —
     # image env light, mixed materials, textures, PLY meshes, trace-time

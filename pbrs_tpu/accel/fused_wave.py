@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..bxdf import lobes as lb
 from ..core import sampler as smp
 from ..geometry import ray as ray_mod
+from ..lights import env_sampling as es_mod
 from ..lights import lights as lt
 from ..lights import sample_shape as ss
 from .fused_kernel import (LANES, BLOCK_ROWS, T_MIN, SPAWN_EPS, INV_PI, _u1, _concentric_disk)
@@ -1066,6 +1067,26 @@ def _shade_call(mats, mats_splits, lights, delta, ints, scal, in_planes,
     )(mats, lights, delta, ints, scal, *mats_splits, *in_planes)
 
 
+def _pend_contrib(pend, hit, env_here, p_env):
+    """Contribution of a folded pending resolved against this bounce's
+    closest hit (the wave drivers' analogue of
+    wavefront._resolve_pending): env leg pays when the ray escaped, area
+    leg when nothing closer than the chosen light was hit. With p_env
+    (env-IS) the env leg's MIS weight is applied HERE — the BSDF pdf
+    rides the env lanes' t_light slot — so the producing bounce paid no
+    pdf_env gather."""
+    vis_area = hit.t >= pend["t_light"] * (1.0 - 1e-3)
+    okp = jnp.where(pend["is_env"], ~hit.hit,
+                    (pend["t_light"] > 0.0) & vis_area)
+    env_term = pend["coeff"] * env_here
+    if p_env is not None:
+        p_b = pend["t_light"]
+        w_e = p_b * p_b / jnp.maximum(p_b * p_b + p_env * p_env, 1e-30)
+        env_term = env_term * jnp.where(pend["is_env"], w_e, 1.0)[:, None]
+    pc = jnp.where(pend["is_env"][:, None], env_term, pend["coeff"])
+    return jnp.where(okp[:, None], pc, 0.0)
+
+
 class FusedWaveIntegrator:
     """Driver: same contract as the other fused integrators; trace and
     occlusion run through dispatch.make_trace_fns (any geometry, incl.
@@ -1204,7 +1225,13 @@ class FusedWaveIntegrator:
         scal = jnp.asarray([self.world_radius], jnp.float32)
 
         hit = self.intersect_fn(rays)
-        env_here = lt.eval_env(scene.env, rays.dir)
+        if self.folded and self.env_is:
+            # One texel gather serves the escape term (kernel plane), the
+            # previous pending's env radiance AND its deferred MIS-weight
+            # pdf (see integrators/nee.py folded env leg).
+            env_here, p_env_here = es_mod.eval_env_pdf(scene.env, rays.dir)
+        else:
+            env_here, p_env_here = lt.eval_env(scene.env, rays.dir), None
 
         tex_planes = []
         for s in self.textured_slots:
@@ -1284,27 +1311,20 @@ class FusedWaveIntegrator:
             # Resolve the PREVIOUS bounce's pending against this hit.
             contrib = emit
             if pend is not None:
-                env_here = lt.eval_env(scene.env, rays.dir)
-                vis_area = hit.t >= pend["t_light"] * (1.0 - 1e-3)
-                okp = jnp.where(pend["is_env"], ~hit.hit,
-                                (pend["t_light"] > 0.0) & vis_area)
-                pc = jnp.where(pend["is_env"][:, None],
-                               pend["coeff"] * env_here, pend["coeff"])
-                contrib = contrib + jnp.where(okp[:, None], pc, 0.0)
+                contrib = contrib + _pend_contrib(
+                    pend, hit, env_here, p_env_here)
             occ1 = self.occlude_fn(sh1) & (sh1.t_max > 0.0)
             contrib = contrib + jnp.where(occ1[:, None], 0.0, c1)
             # New pending from this bounce: area coeff c2 (t_light in
-            # s2t), env coeff ec MIS-weighted against pdf_env(next dir).
-            if self.env_is:
-                from ..lights import env_sampling as es
-
-                p_b = unprep(spdf_o)
-                p_e = es.pdf_env(scene.env.dist, nd)
-                w_e = p_b * p_b / jnp.maximum(p_b * p_b + p_e * p_e, 1e-30)
-                ec = ec * jnp.where(p_b > 0.0, w_e, 0.0)[:, None]
+            # s2t); env coeff ec raw — its MIS weight is DEFERRED to the
+            # next bounce's resolve, whose combined env gather supplies
+            # pdf_env(dir) for free (the BSDF pdf rides the env lanes'
+            # t_light slot).
             t_light = unprep(s2t)
             is_env_p = unprep(spdf_o) > 0.0 if self.has_env else (
                 jnp.zeros(t_light.shape[0], bool))
+            if self.env_is:
+                t_light = jnp.where(is_env_p, unprep(spdf_o), t_light)
             new_pend = {"coeff": c2 + ec, "t_light": t_light,
                         "is_env": is_env_p}
             shadow_lanes = (
@@ -1335,14 +1355,14 @@ class FusedWaveIntegrator:
         occ1 = occb[:m_sh] & (sh1.t_max > 0.0)
         occ2 = occb[m_sh:] & (sh2.t_max > 0.0)
 
-        env2 = lt.eval_env(scene.env, sh2.dir)
         if self.env_is:
-            from ..lights import env_sampling as es
-
+            # One texel gather for the env arm's radiance + MIS pdf.
+            env2, p_e = es_mod.eval_env_pdf(scene.env, sh2.dir)
             p_b = unprep(spdf_o)
-            p_e = es.pdf_env(scene.env.dist, sh2.dir)
             w_e = p_b * p_b / jnp.maximum(p_b * p_b + p_e * p_e, 1e-30)
             ec = ec * jnp.where(p_b > 0.0, w_e, 0.0)[:, None]
+        else:
+            env2 = lt.eval_env(scene.env, sh2.dir)
         contrib = (
             emit
             + jnp.where(occ1[:, None], 0.0, c1)
@@ -1426,14 +1446,12 @@ class FusedWaveIntegrator:
             ray_count = ray_count + jnp.sum(
                 (rays.t_max > 0.0).astype(jnp.float32))
             hit = self.intersect_fn(rays)
-            env_here = lt.eval_env(scene.env, rays.dir)
-            vis_area = hit.t >= pend["t_light"] * (1.0 - 1e-3)
-            okp = jnp.where(pend["is_env"], ~hit.hit,
-                            (pend["t_light"] > 0.0) & vis_area)
-            pc = jnp.where(pend["is_env"][:, None],
-                           pend["coeff"] * env_here, pend["coeff"])
-            radiance = bank(jnp.where(okp[:, None], pc, 0.0), radiance,
-                            orig)
+            if self.env_is:
+                env_here, p_env = es_mod.eval_env_pdf(scene.env, rays.dir)
+            else:
+                env_here, p_env = lt.eval_env(scene.env, rays.dir), None
+            radiance = bank(_pend_contrib(pend, hit, env_here, p_env),
+                            radiance, orig)
 
         if return_ray_count:
             return radiance, ray_count
@@ -1492,7 +1510,12 @@ class FusedWaveIntegrator:
             ray_count = ray_count + jnp.sum(
                 (rays.t_max > 0.0).astype(jnp.float32))
             hit = self.intersect_fn(rays)
-            env_here = lt.eval_env(scene.env, rays.dir)
+            if self.folded and self.env_is:
+                env_here, p_env_here = es_mod.eval_env_pdf(
+                    scene.env, rays.dir)
+            else:
+                env_here = lt.eval_env(scene.env, rays.dir)
+                p_env_here = None
 
             # Texture values for textured slots (outside the kernel: wide
             # gathers + procedural noise are XLA's job).
@@ -1575,26 +1598,18 @@ class FusedWaveIntegrator:
 
             if self.folded:
                 # Resolve the previous bounce's pending against this hit.
-                vis_area = hit.t >= pend["t_light"] * (1.0 - 1e-3)
-                okp = jnp.where(pend["is_env"], ~hit.hit,
-                                (pend["t_light"] > 0.0) & vis_area)
-                pc = jnp.where(pend["is_env"][:, None],
-                               pend["coeff"] * env_here, pend["coeff"])
-                radiance = radiance + jnp.where(okp[:, None], pc, 0.0)
+                radiance = radiance + _pend_contrib(
+                    pend, hit, env_here, p_env_here)
                 occ1 = self.occlude_fn(sh1) & (sh1.t_max > 0.0)
                 radiance = (radiance + emit
                             + jnp.where(occ1[:, None], 0.0, c1))
-                if self.env_is:
-                    from ..lights import env_sampling as es
-
-                    p_b = unprep(spdf_o)
-                    p_e = es.pdf_env(scene.env.dist, nd)
-                    w_e = p_b * p_b / jnp.maximum(
-                        p_b * p_b + p_e * p_e, 1e-30)
-                    ec = ec * jnp.where(p_b > 0.0, w_e, 0.0)[:, None]
+                # Env MIS weight deferred to the next resolve (see
+                # _bounce_flat): the BSDF pdf rides the t_light slot.
                 t_light = unprep(s2t)
                 is_env_p = (unprep(spdf_o) > 0.0 if self.has_env else
                             jnp.zeros(t_light.shape[0], bool))
+                if self.env_is:
+                    t_light = jnp.where(is_env_p, unprep(spdf_o), t_light)
                 pend = {"coeff": c2 + ec, "t_light": t_light,
                         "is_env": is_env_p}
                 if has_lights:
@@ -1621,15 +1636,15 @@ class FusedWaveIntegrator:
             occ1 = occb[:m_sh] & (sh1.t_max > 0.0)
             occ2 = occb[m_sh:] & (sh2.t_max > 0.0)
 
-            env2 = lt.eval_env(scene.env, sh2.dir)
             if self.env_is:
-                # MIS against the env distribution on the BSDF-sampled arm.
-                from ..lights import env_sampling as es
-
+                # MIS against the env distribution on the BSDF-sampled
+                # arm; one texel gather for radiance + pdf.
+                env2, p_e = es_mod.eval_env_pdf(scene.env, sh2.dir)
                 p_b = unprep(spdf_o)
-                p_e = es.pdf_env(scene.env.dist, sh2.dir)
                 w_e = p_b * p_b / jnp.maximum(p_b * p_b + p_e * p_e, 1e-30)
                 ec = ec * jnp.where(p_b > 0.0, w_e, 0.0)[:, None]
+            else:
+                env2 = lt.eval_env(scene.env, sh2.dir)
             radiance = (
                 radiance + emit
                 + jnp.where(occ1[:, None], 0.0, c1)
@@ -1664,13 +1679,11 @@ class FusedWaveIntegrator:
             ray_count = ray_count + jnp.sum(
                 (rays.t_max > 0.0).astype(jnp.float32))
             hit = self.intersect_fn(rays)
-            env_here = lt.eval_env(scene.env, rays.dir)
-            vis_area = hit.t >= pend["t_light"] * (1.0 - 1e-3)
-            okp = jnp.where(pend["is_env"], ~hit.hit,
-                            (pend["t_light"] > 0.0) & vis_area)
-            pc = jnp.where(pend["is_env"][:, None],
-                           pend["coeff"] * env_here, pend["coeff"])
-            radiance = radiance + jnp.where(okp[:, None], pc, 0.0)
+            if self.env_is:
+                env_here, p_env = es_mod.eval_env_pdf(scene.env, rays.dir)
+            else:
+                env_here, p_env = lt.eval_env(scene.env, rays.dir), None
+            radiance = radiance + _pend_contrib(pend, hit, env_here, p_env)
 
         if return_ray_count:
             return radiance, ray_count

@@ -230,7 +230,16 @@ def flattenable(grp: InstanceGroup) -> bool:
     n_inst = int(grp.fwd.shape[0])
     if n_inst * sum(counts) > FLATTEN_MAX:
         return False
-    if counts[0] or counts[3]:  # spheres / disks: need similarity
+    # Masters pad every prim kind to >= 1 row with never-hit dummies
+    # (far-origin / zero-radius). Only REAL spheres/disks force the
+    # similarity requirement — a dummy row must not pin a 4x72-triangle
+    # group (the interior's chairs) to the trace-time path.
+    sph_real = bool(np.any(
+        (np.abs(np.asarray(g.sph_center)).max(axis=1) < 1e30)
+        & (np.asarray(g.sph_radius) > 0.0)))
+    disk_real = bool(np.any(
+        np.abs(np.asarray(g.disk_center)).max(axis=1) < 1e30))
+    if sph_real or disk_real:  # spheres / disks: need similarity
         fwd = np.asarray(grp.fwd)
         for m in fwd:
             m3 = np.asarray(m[:, :3], np.float64)

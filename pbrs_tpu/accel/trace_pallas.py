@@ -318,7 +318,13 @@ PARTITION_AREA_FACTOR = 32.0
 def _partition_big(area, thresh):
     """Split a family by area into (big_ids, small_ids) or (None, None)
     when a partition wouldn't pay: the big side must be small enough for
-    the flat sweep and the small side big enough to want a treelet."""
+    the flat sweep and the small side big enough to want a treelet.
+
+    When more prims clear the area factor than the flat bank holds, keep
+    the LARGEST PARTITION_MAX_FLAT — aborting instead would push the
+    room-shell walls (hit by every ray) back into the treelet walk
+    (measured: baking the interior's 288 chair tris tipped n_big past the
+    cap and silently undid the whole §12 partition win)."""
     n = area.shape[0]
     pos = area[area > 0]
     if pos.size == 0:
@@ -328,7 +334,12 @@ def _partition_big(area, thresh):
         return None, None
     big = area > PARTITION_AREA_FACTOR * med
     n_big = int(big.sum())
-    if n_big == 0 or n_big > PARTITION_MAX_FLAT or (n - n_big) <= thresh:
+    if n_big > PARTITION_MAX_FLAT:
+        order = np.argsort(area)[::-1][:PARTITION_MAX_FLAT]
+        big = np.zeros(n, bool)
+        big[order] = True
+        n_big = PARTITION_MAX_FLAT
+    if n_big == 0 or (n - n_big) <= thresh:
         return None, None
     return np.nonzero(big)[0], np.nonzero(~big)[0]
 

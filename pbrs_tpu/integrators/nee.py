@@ -180,17 +180,16 @@ def uniform_sample_one_light(
             # The env leg's radiance is eval_env(wi_b) — which the next
             # bounce computes anyway (its escape term, same direction), so
             # the coefficient EXCLUDES it and the resolve multiplies it in.
+            # Env-IS: the MIS weight is ALSO deferred — the BSDF pdf rides
+            # the (otherwise unused) t_light slot and the resolver gets
+            # pdf_env(wi_b) for free from the same texel gather as the
+            # escape term (wavefront._resolve_pending p_env). This bounce
+            # never pays a pdf_env gather pass.
             valid_e = arm_env & ~is_delta_b & (pdf_b > 0.0)
-            if env_is:
-                from ..lights import env_sampling as es
-
-                weight_e = _power2_heuristic(
-                    pdf_b, es.pdf_env(scene.env.dist, wi_b))
-            else:
-                weight_e = jnp.ones(hit_pos.shape[0], hit_pos.dtype)
-            ce = f_b * (weight_e * vm.weak_recip(pdf_b))[..., None] * float(
-                n_lights)
+            ce = f_b * vm.weak_recip(pdf_b)[..., None] * float(n_lights)
             coeff = jnp.where(valid_e[..., None], ce, coeff)
+            if env_is:
+                t_light = jnp.where(valid_e, pdf_b, t_light)
             is_env_p = valid_e
         pending = {"coeff": coeff, "t_light": t_light, "is_env": is_env_p}
         return result * float(n_lights), pending
@@ -253,15 +252,16 @@ def uniform_sample_one_light(
             result = result + jnp.where(valid_b[..., None], contrib_b, 0.0)
 
         if has_env:
-            li_env = lt.eval_env(scene.env, wi_b)
             # ~is_delta_b: same double-count exclusion as the area arm.
             valid_e = arm_env & ~is_delta_b & ~occluded_b & (pdf_b > 0.0)
             if env_is:
                 from ..lights import env_sampling as es
 
-                weight_e = _power2_heuristic(
-                    pdf_b, es.pdf_env(scene.env.dist, wi_b))
+                # One texel gather for radiance + pdf (same row/col).
+                li_env, p_e = es.eval_env_pdf(scene.env, wi_b)
+                weight_e = _power2_heuristic(pdf_b, p_e)
             else:
+                li_env = lt.eval_env(scene.env, wi_b)
                 weight_e = 1.0
             contrib_e = f_b * li_env * (
                 weight_e * vm.weak_recip(pdf_b))[..., None]

@@ -95,15 +95,27 @@ def morton_pixel_order(width, height):
     return (ys[keep] * width + xs[keep]).astype(np.int32)
 
 
-def _resolve_pending(pending, hit, env, radiance, add):
+def _resolve_pending(pending, hit, env, radiance, add, p_env=None):
     """Fold the previous bounce's BSDF-arm MIS contribution using THIS
     bounce's closest hit: env leg pays when the ray escaped, area leg when
-    nothing closer than the chosen light was hit (nee.py folded mode)."""
+    nothing closer than the chosen light was hit (nee.py folded mode).
+
+    p_env (env-IS scenes): the distribution pdf along this bounce's ray
+    directions, from the SAME texel gather as `env` (eval_env_pdf). The
+    env leg's MIS weight is deferred to here — nee.py stashes the BSDF
+    pdf in the env lanes' t_light slot — so the bounce that produced the
+    pending never pays a separate pdf_env gather pass."""
     coeff, t_light, is_env = (pending["coeff"], pending["t_light"],
                               pending["is_env"])
     vis_area = hit.t >= t_light * (1.0 - 1e-3)
     pend_valid = is_env | (t_light > 0.0)
-    contrib = jnp.where(is_env[..., None], coeff * env, coeff)
+    env_term = coeff * env
+    if p_env is not None:
+        from .nee import _power2_heuristic
+
+        w_e = _power2_heuristic(t_light, p_env)  # t_light = p_b (env lanes)
+        env_term = env_term * jnp.where(is_env, w_e, 1.0)[..., None]
+    contrib = jnp.where(is_env[..., None], env_term, coeff)
     ok = pend_valid & jnp.where(is_env, ~hit.hit, vis_area)
     return add(radiance, jnp.where(ok[..., None], contrib, 0.0))
 
@@ -112,6 +124,17 @@ def _zero_pending(n):
     return {"coeff": jnp.zeros((n, 3), jnp.float32),
             "t_light": jnp.zeros(n, jnp.float32),
             "is_env": jnp.zeros(n, bool)}
+
+
+def _make_env_evaluator(scene, folded):
+    """(env rgb, distribution pdf|None) evaluator — with folded env-IS the
+    escape term and the deferred MIS-weight pdf come from ONE texel
+    gather (env_sampling.eval_env_pdf)."""
+    if folded and getattr(scene.env, "dist", None) is not None:
+        from ..lights import env_sampling as es
+
+        return lambda dirs: es.eval_env_pdf(scene.env, dirs)
+    return lambda dirs: (lt.eval_env(scene.env, dirs), None)
 
 
 def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
@@ -153,6 +176,7 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
 
     n = rays.origin.shape[0]
     folded = nee_mode == "folded" and use_nee and scene.num_lights > 0
+    eval_env_maybe_pdf = _make_env_evaluator(scene, folded)
 
     def body(bounce, state):
         rays, radiance, beta, alive, specular_bounce, ray_count, pend = state
@@ -169,7 +193,7 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
         # Emitted light at the hit (or escape to the environment) counts only
         # on camera rays and after delta bounces; NEE covers the rest.
         # [ref: pathintegrator.rs:19-22]
-        env = lt.eval_env(scene.env, rays.dir)
+        env, p_env = eval_env_maybe_pdf(rays.dir)
         direct_seen = jnp.where(hit.hit[..., None], emit, env)
         if use_nee:
             count_emission = alive & ((bounce == 0) | specular_bounce)
@@ -182,7 +206,7 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
         )
         if folded:
             radiance = _resolve_pending(pend, hit, env, radiance,
-                                        lambda r, c: r + c)
+                                        lambda r, c: r + c, p_env=p_env)
             pend = _zero_pending(n)
 
         alive = alive & hit.hit
@@ -293,9 +317,9 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
         ray_count = ray_count + jnp.sum((rays.t_max > 0.0).astype(
             jnp.float32))
         hit = intersect_fn(rays)
-        env = lt.eval_env(scene.env, rays.dir)
+        env, p_env = eval_env_maybe_pdf(rays.dir)
         radiance = _resolve_pending(pend, hit, env, radiance,
-                                    lambda r, c: r + c)
+                                    lambda r, c: r + c, p_env=p_env)
     if return_ray_count:
         return radiance, ray_count
     return radiance
@@ -540,6 +564,7 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
     assert len(schedule) >= max_depth and schedule[0] >= n
 
     folded = nee_mode == "folded" and use_nee and scene.num_lights > 0
+    eval_env_maybe_pdf = _make_env_evaluator(scene, folded)
     radiance = jnp.zeros((n, 3), jnp.float32)
     beta = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones(n, bool)
@@ -589,7 +614,7 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
         lobes, emit = mat_mod.shading_at(
             scene.materials, scene.textures, hit.mat_id, hit.uv, hit.pos
         )
-        env = lt.eval_env(scene.env, rays.dir)
+        env, p_env = eval_env_maybe_pdf(rays.dir)
         direct_seen = jnp.where(hit.hit[..., None], emit, env)
         if use_nee:
             count_emission = alive & ((bounce == 0) | specular)
@@ -600,7 +625,8 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
         radiance = bank(radiance, jnp.where(
             count_emission[..., None], beta * direct_seen, 0.0))
         if folded:
-            radiance = _resolve_pending(pend, hit, env, radiance, bank)
+            radiance = _resolve_pending(pend, hit, env, radiance, bank,
+                                        p_env=p_env)
             pend = _zero_pending(rays.origin.shape[0])
 
         alive = alive & hit.hit
@@ -677,9 +703,10 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
         ray_count = ray_count + jnp.sum((rays.t_max > 0.0).astype(
             jnp.float32))
         hit = intersect_fn(rays)
-        env = lt.eval_env(scene.env, rays.dir)
+        env, p_env = eval_env_maybe_pdf(rays.dir)
         bank = make_bank(orig, rays.origin.shape[0])
-        radiance = _resolve_pending(pend, hit, env, radiance, bank)
+        radiance = _resolve_pending(pend, hit, env, radiance, bank,
+                                    p_env=p_env)
 
     if return_ray_count:
         return radiance, ray_count

@@ -91,7 +91,12 @@ def test_partition_heuristic_bounds():
     # Uniform family: no partition.
     big, small = tp._partition_big(np.full(5000, 1e-3), 1024)
     assert big is None
-    # Too many big prims: no partition.
-    area = np.concatenate([np.full(2000, 1e-4), np.full(500, 5.0)])
+    # More big prims than the flat bank holds: keep the LARGEST
+    # PARTITION_MAX_FLAT (aborting would dump the room-shell walls into
+    # the treelet walk — the interior regression the cap fixes).
+    area = np.concatenate([np.full(2000, 1e-4), np.full(500, 5.0),
+                           np.full(3, 100.0)])
     big, small = tp._partition_big(area, 1024)
-    assert big is None
+    assert big is not None and len(big) == tp.PARTITION_MAX_FLAT
+    assert len(small) == area.shape[0] - tp.PARTITION_MAX_FLAT
+    assert set(range(2500, 2503)) <= set(big)  # the largest stay flat

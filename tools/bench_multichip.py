@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 n_dev = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 flags = os.environ.get("XLA_FLAGS", "")
