@@ -1382,7 +1382,8 @@ class FusedWaveIntegrator:
 
     def render_samples_compacted(self, sampler, pixel_idx, sample_idx,
                                  schedule, max_depth=5, msaa=2, rr_start=3,
-                                 return_ray_count=False, sort_blocks=True):
+                                 return_ray_count=False, sort_blocks=True,
+                                 resort=False):
         """Python-unrolled wave loop with block compaction + spatial
         re-sort between bounces (see wavefront.block_compact). One XLA
         program per depth; shapes follow the static schedule."""
@@ -1405,9 +1406,13 @@ class FusedWaveIntegrator:
         ray_count = jnp.zeros((), jnp.float32)
         pend = wavefront._zero_pending(n) if self.folded else None
 
+        permuted = [False]
+
         def bank(contrib, radiance, orig):
             m = contrib.shape[0]
-            if m == n:
+            # resort keeps the size at n but permutes lanes, so the
+            # identity shortcut is gated on the permutation flag too.
+            if m == n and not permuted[0]:
                 return radiance + contrib
             borig = orig.reshape(m // G, G)[:, 0] // G
             return radiance.reshape(n // G, G * 3).at[borig].add(
@@ -1418,14 +1423,19 @@ class FusedWaveIntegrator:
             cap = min(schedule[bounce], n)
             cap -= cap % G
             cur = rays.origin.shape[0]
-            if cap < cur:
+            # resort: force the sorting pass even when nothing shrinks
+            # (cap == cur -> pure permutation, p = 1); incoherent
+            # bounce rows are what defeat the row-cost tracers.
+            if cap < cur or (resort and sort_blocks and bounce > 0):
                 u_c = sampler.u1(pix, sid, bounce, smp.DIM_COMPACT)
                 (rays, beta, pix, sid, orig, specular,
                  alive, pend_out) = wavefront.block_compact(
-                    rays, beta, pix, sid, orig, specular, alive, cap, u_c,
+                    rays, beta, pix, sid, orig, specular, alive,
+                    min(cap, cur), u_c,
                     sort_blocks=sort_blocks, pend=pend)
                 if self.folded:
                     pend = pend_out
+                permuted[0] = True
 
             ray_count = ray_count + jnp.sum(
                 (rays.t_max > 0.0).astype(jnp.float32))

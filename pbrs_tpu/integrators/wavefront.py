@@ -141,7 +141,7 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
                   rr_start=3, intersect_fn=None, occlude_fn=None,
                   use_nee=True, return_ray_count=False,
                   shrink_schedule=None, sort_blocks=True,
-                  nee_mode="twoarm"):
+                  nee_mode="twoarm", resort=False):
     """Estimate radiance along camera rays. Returns [N,3].
 
     Every bounce, all lanes: closest-hit, emission on camera/post-delta
@@ -165,13 +165,17 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
         intersect_fn = lambda r: isect_mod.intersect(scene.geom, r)
     if occlude_fn is None:
         occlude_fn = lambda r: isect_mod.occluded(scene.geom, r)
+    if resort and shrink_schedule is None:
+        # Sort-only: full-capacity schedule, compaction becomes a pure
+        # spatial permutation at every bounce >= 1.
+        shrink_schedule = (rays.origin.shape[0],) * max_depth
     if shrink_schedule is not None:
         return path_radiance_compacted(
             scene, rays, sampler, pixel_idx, sample_idx,
             tuple(shrink_schedule), max_depth=max_depth, rr_start=rr_start,
             intersect_fn=intersect_fn, occlude_fn=occlude_fn,
             use_nee=use_nee, return_ray_count=return_ray_count,
-            sort_blocks=sort_blocks, nee_mode=nee_mode,
+            sort_blocks=sort_blocks, nee_mode=nee_mode, resort=resort,
         )
 
     n = rays.origin.shape[0]
@@ -485,7 +489,13 @@ def block_compact(rays, beta, pix, sid, orig, specular, alive, cap, u_c,
     need = alive | pend_valid
     balive = need.reshape(curB, G).any(axis=1)
     nb = jnp.sum(balive.astype(jnp.int32)).astype(jnp.float32)
-    p = jnp.minimum(1.0, 0.95 * capB / jnp.maximum(nb, 1.0))
+    # Exact fit needs no roulette margin: when every needed block has a
+    # slot, keep them all (p = 1). The 0.95 margin only matters when the
+    # roulette must thin an overflow. This makes cap == cur a PURE
+    # permutation — the resort-only pass (sort_blocks without shrinking)
+    # is estimator-exact, not just unbiased.
+    p = jnp.where(nb <= capB, 1.0,
+                  0.95 * capB / jnp.maximum(nb, 1.0))
     keepb = balive & (u_c.reshape(curB, G)[:, 0] < p)
     inv_p = jnp.where(jnp.repeat(keepb, G), 1.0 / p, 1.0)[:, None]
     beta = beta * inv_p
@@ -528,7 +538,8 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
                             schedule, max_depth=5, rr_start=3,
                             intersect_fn=None, occlude_fn=None,
                             use_nee=True, return_ray_count=False,
-                            sort_blocks=True, nee_mode="twoarm"):
+                            sort_blocks=True, nee_mode="twoarm",
+                            resort=False):
     """Masked bounce loop with a static shrink schedule.
 
     The TPU wavefront's cost is lane-count-proportional at every stage
@@ -576,6 +587,7 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
     pend = _zero_pending(n)
 
     G = COMPACT_BLOCK
+    permuted = False
 
     def make_bank(orig, cur):
         # Emission and NEE are scatter-added SEPARATELY so each lane's
@@ -585,7 +597,9 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
         # afterwards contributions land as G-lane block rows (blocks move
         # atomically, so each lane's original block is orig//G of its
         # first lane — block-row scatters cost 1/G of per-lane ones).
-        if cur == n:
+        # A resort pass keeps the size at n but still permutes, so the
+        # identity shortcut is gated on `permuted`, not just the size.
+        if cur == n and not permuted:
             return lambda radiance, contrib: radiance + contrib
 
         def bank(radiance, contrib):
@@ -600,13 +614,18 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
         cap = min(schedule[bounce], n)
         cap -= cap % G
         cur = rays.origin.shape[0]
-        if cap < cur:
+        # resort: run the (sorting) compaction even when nothing shrinks
+        # — bounce>=1 ray batches are spatially incoherent, and row-cost
+        # tracers (ARCHITECTURE §11) want coherent rows far more than
+        # they want fewer rows. cap == cur makes it a pure permutation.
+        if cap < cur or (resort and sort_blocks and bounce > 0):
             u_c = sampler.u1(pix, sid, bounce, smp.DIM_COMPACT)
             (rays, beta, pix, sid, orig, specular, alive,
              pend) = block_compact(rays, beta, pix, sid, orig, specular,
-                                   alive, cap, u_c,
+                                   alive, min(cap, cur), u_c,
                                    sort_blocks=sort_blocks,
                                    pend=pend if folded else None)
+            permuted = True
 
         ray_count = ray_count + jnp.sum((rays.t_max > 0.0).astype(
             jnp.float32))
@@ -717,7 +736,7 @@ def render_samples(scene, sampler, pixel_idx, sample_idx, max_depth=5, msaa=2,
                    intersect_fn=None, occlude_fn=None, use_nee=True,
                    return_ray_count=False, filter_inv_cdf=None,
                    shrink_schedule=None, sort_blocks=True,
-                   nee_mode="twoarm"):
+                   nee_mode="twoarm", resort=False):
     """Camera rays + path integration for a (pixel, sample) batch."""
     rays, weight = camera_rays_weighted(
         scene, sampler, pixel_idx, sample_idx, msaa, filter_inv_cdf
@@ -726,7 +745,7 @@ def render_samples(scene, sampler, pixel_idx, sample_idx, max_depth=5, msaa=2,
         scene, rays, sampler, pixel_idx, sample_idx, max_depth=max_depth,
         intersect_fn=intersect_fn, occlude_fn=occlude_fn, use_nee=use_nee,
         return_ray_count=return_ray_count, shrink_schedule=shrink_schedule,
-        sort_blocks=sort_blocks, nee_mode=nee_mode,
+        sort_blocks=sort_blocks, nee_mode=nee_mode, resort=resort,
     )
     if weight is None:
         return out

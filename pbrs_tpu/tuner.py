@@ -81,7 +81,8 @@ class TunedRender:
     (radiance [N,3], traced_segment_count)."""
 
     def __init__(self, scene, sampler, depth, msaa, trace_mode, integ,
-                 schedule, isect_fn, occl_fn, label, nee_mode="twoarm"):
+                 schedule, isect_fn, occl_fn, label, nee_mode="twoarm",
+                 resort=False):
         self.scene = scene
         self.sampler = sampler
         self.depth = depth
@@ -93,6 +94,7 @@ class TunedRender:
         self.occl_fn = occl_fn
         self.label = label
         self.nee_mode = nee_mode
+        self.resort = resort
 
     def masked(self):
         """Twin configuration without the shrink schedule — for odd-sized
@@ -104,13 +106,24 @@ class TunedRender:
             self.trace_mode, self.integ, None, self.isect_fn,
             self.occl_fn, self.label + "/masked-tail", self.nee_mode)
 
+    def resized(self, n):
+        """Same configuration at a different lane count (resort-only
+        schedules are full-capacity, so they just track the batch)."""
+        if self.schedule is None or not self.resort                 or any(c < self.schedule[0] for c in self.schedule):
+            return self.masked() if self.schedule is not None                 and self.schedule[0] != n else self
+        return TunedRender(
+            self.scene, self.sampler, self.depth, self.msaa,
+            self.trace_mode, self.integ, (n,) * len(self.schedule),
+            self.isect_fn, self.occl_fn, self.label, self.nee_mode,
+            resort=True)
+
     def __call__(self, lanes, sample_ids):
         if self.integ is not None:
             if self.schedule is not None:
                 return self.integ.render_samples_compacted(
                     self.sampler, lanes, sample_ids, self.schedule,
                     max_depth=self.depth, msaa=self.msaa,
-                    return_ray_count=True)
+                    return_ray_count=True, resort=self.resort)
             return self.integ.render_samples(
                 self.sampler, lanes, sample_ids, max_depth=self.depth,
                 msaa=self.msaa, return_ray_count=True)
@@ -119,7 +132,7 @@ class TunedRender:
             max_depth=self.depth, msaa=self.msaa,
             intersect_fn=self.isect_fn, occlude_fn=self.occl_fn,
             return_ray_count=True, shrink_schedule=self.schedule,
-            nee_mode=self.nee_mode)
+            nee_mode=self.nee_mode, resort=self.resort)
 
 
 def _measure(step, lanes, sample_ids, reps=2):
@@ -246,6 +259,7 @@ def tune(scene, sampler, lanes, sample_ids, depth=5, msaa=2,
                                             folded=True),
                      "wave-folded", "folded"))
         seen = set()
+        big = mode is not None or "rowdense" in [m for m in modes if m]
         for integ, iname, nmode in integs:
             for comp in compacts:
                 s = (sched_folded if nmode == "folded" else sched) \
@@ -257,6 +271,23 @@ def tune(scene, sampler, lanes, sample_ids, depth=5, msaa=2,
                 candidates.append(TunedRender(
                     scene, sampler, depth, msaa, mode, integ, s,
                     isect_fn, occl_fn, label, nee_mode=nmode))
+            # Sort-only resort (ARCHITECTURE §11): even when nothing
+            # shrinks, permuting bounce>=1 batches into (origin-morton,
+            # direction-octant) block order re-couples the row-cost
+            # tracers. Only worth measuring on treelet-traced scenes,
+            # and only for the stronger NEE structure.
+            if big and (nmode == "folded" or scene.num_lights == 0):
+                s = (sched_folded if nmode == "folded" else sched)
+                rlabel = (f"{iname}/{mname}"
+                          f"{'/compact' if s else ''}/resort")
+                if rlabel not in seen:
+                    seen.add(rlabel)
+                    n = int(lanes.shape[0])
+                    candidates.append(TunedRender(
+                        scene, sampler, depth, msaa, mode, integ,
+                        s if s is not None else (n,) * depth,
+                        isect_fn, occl_fn, rlabel, nee_mode=nmode,
+                        resort=True))
 
     if len(candidates) == 1:
         return candidates[0]

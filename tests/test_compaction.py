@@ -128,3 +128,61 @@ def test_wave_compacted_matches_masked():
         sort_blocks=False))()
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_resort_matches_masked():
+    """Sort-only resort (cap == n, pure permutation, keep p == 1): the
+    banked image must equal the masked loop up to reassociation."""
+    scene = _small_scene()
+    sampler = smp.PCGSampler(5)
+    n = 64 * 48
+    pix = jnp.arange(n, dtype=jnp.int32)
+    sid = jnp.zeros(n, jnp.int32)
+
+    ref = jax.jit(lambda: wavefront.render_samples(
+        scene, sampler, pix, sid, max_depth=3, msaa=2))()
+    got = jax.jit(lambda: wavefront.render_samples(
+        scene, sampler, pix, sid, max_depth=3, msaa=2, resort=True))()
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_resort_folded_matches_masked():
+    """Resort with folded NEE: pending MIS contributions ride the
+    permutation and bank to the right pixels."""
+    scene = _small_scene()
+    sampler = smp.PCGSampler(13)
+    n = 64 * 48
+    pix = jnp.arange(n, dtype=jnp.int32)
+    sid = jnp.zeros(n, jnp.int32)
+
+    ref = jax.jit(lambda: wavefront.render_samples(
+        scene, sampler, pix, sid, max_depth=3, msaa=2,
+        nee_mode="folded"))()
+    got = jax.jit(lambda: wavefront.render_samples(
+        scene, sampler, pix, sid, max_depth=3, msaa=2,
+        nee_mode="folded", resort=True))()
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_wave_resort_matches_masked():
+    """FusedWaveIntegrator resort-only driver == its masked loop.
+    (Slow: interpret-mode wave kernel, ~5 min on the CPU mesh.)"""
+    from pbrs_tpu.accel import fused_wave as fw
+
+    scene = _small_scene()
+    integ = fw.FusedWaveIntegrator(scene, interpret=True, use_pallas=False)
+    sampler = smp.PCGSampler(17)
+    n = 64 * 48
+    pix = jnp.arange(n, dtype=jnp.int32)
+    sid = jnp.zeros(n, jnp.int32)
+
+    ref = jax.jit(lambda: integ.render_samples(
+        sampler, pix, sid, max_depth=3, msaa=2))()
+    got = jax.jit(lambda: integ.render_samples_compacted(
+        sampler, pix, sid, (n, n, n), max_depth=3, msaa=2,
+        resort=True))()
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               atol=1e-5, rtol=1e-4)
