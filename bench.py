@@ -23,11 +23,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 # blocks backend init forever.  Probe in a bounded subprocess so a sick
 # chip yields a parseable record instead of a driver-visible hang/traceback
 # (round-3 post-mortem: BENCH_r03 rc=1, no perf number recorded).
+# A transiently wedged chip often recovers within minutes (round-4
+# post-mortem: BENCH_r04 probed null, the judge's re-run hours later got
+# 146.78) — so a failed probe gets ONE bounded retry after a cooldown.
 PROBE_TIMEOUT_S = 240
+RETRY_COOLDOWN_S = 120
 
 
-def probe_backend():
-    """Return None if the backend is healthy, else an error string."""
+def _probe_once():
     code = (
         "import jax, jax.numpy as jnp;"
         "d = jax.devices();"
@@ -45,6 +48,17 @@ def probe_backend():
         tail = (r.stderr or "").strip().splitlines()[-1:] or ["unknown"]
         return f"tpu_unavailable: {tail[0][:200]}"
     return None
+
+
+def probe_backend():
+    """Return None if the backend is healthy, else an error string."""
+    err = _probe_once()
+    if err is None:
+        return None
+    print(f"# probe failed ({err}); retrying after {RETRY_COOLDOWN_S}s",
+          file=sys.stderr)
+    time.sleep(RETRY_COOLDOWN_S)
+    return _probe_once()
 
 
 def main():

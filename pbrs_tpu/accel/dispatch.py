@@ -14,8 +14,9 @@ def make_trace_fns(scene, use_pallas: bool | None = None, interpret=False,
     including any trace-time instance groups (accel/instanced.py).
 
     trace_mode: treelet kernel selection ('rowdense' row-shared dense
-    visits — fastest when lanes are tile/Morton-ordered; None/'onehot'
-    per-lane MXU gathers)."""
+    visits via one-hot matmul fetch; 'rowdyn' row-shared dense visits via
+    scalar-indexed dynamic fetch (no matmul) — both fastest when lanes are
+    tile/Morton-ordered; None/'onehot' per-lane MXU gathers)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     geom = scene.geom

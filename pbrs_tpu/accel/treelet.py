@@ -204,13 +204,16 @@ def build_treelets(kind, fields, bbox_lo, bbox_hi, treelet=TREELET,
 # ---------------------------------------------------------------------------
 
 def _test_prims(kind, g, nf, treelet, rox, roy, roz, rdx, rdy, rdz, t_max):
-    """g: gathered [nf*treelet, RAYS] f32. Returns (t [treelet,R], ok).
+    """g: gathered [nf*treelet, RAYS] f32 — or a callable k -> [treelet, X]
+    field accessor (the dynamic-fetch kernels reconstruct fields from a
+    different layout). Returns (t [treelet,R], ok).
 
     Normals for planar prims are derived in-kernel by cross products: they
     drop out of scale in every test below (plane t and signed-area signs are
     scale-invariant), and all-zero padding slots yield zero normals ->
     denom == 0 -> never pass."""
-    f = lambda k: g[k * treelet:(k + 1) * treelet]
+    f = g if callable(g) else (
+        lambda k: g[k * treelet:(k + 1) * treelet])
     if kind == KIND_SPHERE:
         cx, cy, cz, r = f(0), f(1), f(2), f(3)
         fx, fy, fz = rox - cx, roy - cy, roz - cz
@@ -477,21 +480,22 @@ def _rowdense_kernel(boxes_ref, cboxes_ref, tab_ref,
                      ox, oy, oz, dx, dy, dz, tmax,
                      t_out, idx_out, rowkey_s, *,
                      kind, t_pad, t_count, treelet, any_hit,
-                     rays=RAYS, subrows=SUBROWS, debug_rounds=False):
+                     rays=RAYS, subrows=SUBROWS, fetch="onehot",
+                     debug_rounds=False):
     for r in range(subrows):
         _rowdense_row(boxes_ref, cboxes_ref, tab_ref,
                       ox, oy, oz, dx, dy, dz, tmax, t_out, idx_out,
                       rowkey_s,
                       r, kind=kind, t_pad=t_pad, t_count=t_count,
                       treelet=treelet, any_hit=any_hit, rays=rays,
-                      debug_rounds=debug_rounds)
+                      fetch=fetch, debug_rounds=debug_rounds)
 
 
 def _rowdense_row(boxes_ref, cboxes_ref, tab_ref,
                   ox, oy, oz, dx, dy, dz, tmax,
                   t_out, idx_out, rowkey_s,
                   r, *, kind, t_pad, t_count, treelet, any_hit,
-                  rays=RAYS, debug_rounds=False):
+                  rays=RAYS, fetch="onehot", debug_rounds=False):
     """Row-shared dense traversal: the whole 1024-lane row visits ONE
     treelet per round, chosen by the row-minimum entry key, and tests its
     64 slots densely on the VPU.
@@ -604,13 +608,36 @@ def _rowdense_row(boxes_ref, cboxes_ref, tab_ref,
 
         def body(state):
             rowkey, t_best, idx_best, nround = state
-            kmin = jnp.min(rowkey, axis=0, keepdims=True)  # [1, 1]
-            tid = kmin & gmask
-            onehot = (gid_col == tid).astype(jnp.bfloat16)  # [t_pad, 1]
-            rowkey = jnp.where(gid_col == tid, INT_MAX, rowkey)
-            g3 = mm(tab_ref[...], onehot)  # [3*nf*treelet, 1]
-            f3 = nf * treelet
-            g = g3[0:f3] + g3[f3:2 * f3] + g3[2 * f3:]  # exact f32
+            if fetch == "dyn":
+                # Dynamic fetch (round-4 VERDICT #1): the row's single
+                # chosen treelet is read with ONE scalar-indexed
+                # leading-dim load from the [t_pad, treelet, 3*nf] bf16
+                # split table — no matmul, no O(t_pad) MAC cost. Fields
+                # come back slot-major ([treelet, 3*nf] with slots on
+                # sublanes), so each field is three static lane slices
+                # summed in f32 (bit-exact 3-split reconstruction, same
+                # invariant as the one-hot path).
+                kmin_s = jnp.min(rowkey)  # scalar
+                tid = jnp.minimum(kmin_s & gmask, t_pad - 1)
+                rowkey = jnp.where(gid_col == tid, INT_MAX, rowkey)
+                v = tab_ref[tid]  # [treelet, 3*nf] bf16
+
+                def fget(k):
+                    return (v[:, k:k + 1].astype(jnp.float32)
+                            + v[:, nf + k:nf + k + 1].astype(jnp.float32)
+                            + v[:, 2 * nf + k:2 * nf + k + 1].astype(
+                                jnp.float32))
+
+                g = fget
+                kmin = jnp.broadcast_to(kmin_s, (1, 1))
+            else:
+                kmin = jnp.min(rowkey, axis=0, keepdims=True)  # [1, 1]
+                tid = kmin & gmask
+                onehot = (gid_col == tid).astype(jnp.bfloat16)  # [t_pad, 1]
+                rowkey = jnp.where(gid_col == tid, INT_MAX, rowkey)
+                g3 = mm(tab_ref[...], onehot)  # [3*nf*treelet, 1]
+                f3 = nf * treelet
+                g = g3[0:f3] + g3[f3:2 * f3] + g3[2 * f3:]  # exact f32
             t_c, ok = _test_prims(
                 kind, g, nf, treelet, rox, roy, roz, rdx, rdy, rdz, t_best)
             t_c = jnp.where(ok, t_c, BIG)
@@ -902,13 +929,13 @@ def _trace_blocks(boxes, cboxes, table, ray_comps, kind, n_chunks, t_count,
 
 def _trace_blocks_rowdense(boxes, cboxes, table_flat, ray_comps, kind,
                            t_pad, t_count, nf, treelet, any_hit=False,
-                           rays=RAYS, subrows=SUBROWS, interpret=False,
-                           debug_rounds=False):
+                           rays=RAYS, subrows=SUBROWS, fetch="onehot",
+                           interpret=False, debug_rounds=False):
     blocks = ray_comps[0].shape[0] // subrows
     kernel = functools.partial(
         _rowdense_kernel, kind=kind, t_pad=t_pad, t_count=t_count,
         treelet=treelet, any_hit=any_hit, rays=rays, subrows=subrows,
-        debug_rounds=debug_rounds)
+        fetch=fetch, debug_rounds=debug_rounds)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     rblk = lambda: pl.BlockSpec((subrows, rays), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
@@ -976,6 +1003,21 @@ class TreeletTracer:
                         3 * nf * treelet, self.t_pad)))
         else:
             self.table_flat = None
+        # Dynamic-fetch row-dense ("rowdyn"): slot-major [t_pad, treelet,
+        # 3*nf] bf16 split table, read per round with one scalar-indexed
+        # leading-dim load instead of a one-hot matmul. The lane dim (3*nf
+        # <= 27) pads to 128 in VMEM, so the footprint is treelet*128*2
+        # bytes per treelet — gate on the padded size.
+        dyn_bytes = self.t_pad * treelet * 128 * 2
+        self.rowdyn_ok = self.rowdense_ok and dyn_bytes <= (6 << 20)
+        if self.rowdyn_ok:
+            flat = np.asarray(self.table_flat)  # [3*nf*treelet, t_pad]
+            self.table_dyn = jnp.asarray(
+                np.ascontiguousarray(
+                    flat.reshape(3 * nf, treelet, self.t_pad)
+                    .transpose(2, 1, 0)))
+        else:
+            self.table_dyn = None
 
     def _components(self, ray_batch):
         n = ray_batch.origin.shape[0]
@@ -1028,7 +1070,10 @@ class TreeletTracer:
         # the round-count saving), but it makes rows coherent for the
         # row-dense mode, whose cost IS the row's treelet union.
         # mode: None/'onehot' per-lane gather kernels; 'rowdense' the
-        # row-shared dense kernel (_rowdense_row) when the table fits.
+        # row-shared dense kernel (_rowdense_row) when the table fits;
+        # 'rowdyn' the same row-shared traversal with the one-hot matmul
+        # fetch replaced by a scalar-indexed dynamic load (falls back to
+        # rowdense, then onehot, when VMEM gates reject the layout).
         n = rays.origin.shape[0]
         if sort:
             perm = jnp.argsort(self._sort_key(rays))
@@ -1036,7 +1081,14 @@ class TreeletTracer:
                 origin=rays.origin[perm], dir=rays.dir[perm],
                 t_max=rays.t_max[perm])
         comps, n = self._components(rays)
-        if mode == "rowdense" and self.rowdense_ok:
+        if mode == "rowdyn" and self.rowdyn_ok:
+            t, packed = _trace_blocks_rowdense(
+                self.boxes, self.cboxes, self.table_dyn, tuple(comps),
+                kind=self.kind, t_pad=self.t_pad, t_count=self.t_count,
+                nf=N_FIELDS[self.kind], treelet=self.treelet,
+                any_hit=any_hit, rays=self.rays, subrows=self.subrows,
+                fetch="dyn", interpret=self.interpret)
+        elif mode in ("rowdense", "rowdyn") and self.rowdense_ok:
             t, packed = _trace_blocks_rowdense(
                 self.boxes, self.cboxes, self.table_flat, tuple(comps),
                 kind=self.kind, t_pad=self.t_pad, t_count=self.t_count,

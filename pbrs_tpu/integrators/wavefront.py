@@ -165,10 +165,20 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
         intersect_fn = lambda r: isect_mod.intersect(scene.geom, r)
     if occlude_fn is None:
         occlude_fn = lambda r: isect_mod.occluded(scene.geom, r)
+    if resort and not sort_blocks:
+        # resort's only effect is the spatial block sort; with sorting off
+        # the compacted loop would never permute — identical results to the
+        # masked loop at strictly more per-bounce overhead (ADVICE r4).
+        resort = False
     if resort and shrink_schedule is None:
         # Sort-only: full-capacity schedule, compaction becomes a pure
-        # spatial permutation at every bounce >= 1.
-        shrink_schedule = (rays.origin.shape[0],) * max_depth
+        # spatial permutation at every bounce >= 1. block_compact moves
+        # G-lane blocks, so a batch that doesn't tile into blocks takes
+        # the masked loop instead (same estimator, no permutation).
+        if rays.origin.shape[0] % COMPACT_BLOCK != 0:
+            resort = False
+        else:
+            shrink_schedule = (rays.origin.shape[0],) * max_depth
     if shrink_schedule is not None:
         return path_radiance_compacted(
             scene, rays, sampler, pixel_idx, sample_idx,
@@ -573,6 +583,10 @@ def path_radiance_compacted(scene, rays, sampler, pixel_idx, sample_idx,
         occlude_fn = lambda r: isect_mod.occluded(scene.geom, r)
     n = rays.origin.shape[0]
     assert len(schedule) >= max_depth and schedule[0] >= n
+    assert n % COMPACT_BLOCK == 0, (
+        f"compacted loop moves lanes in {COMPACT_BLOCK}-lane blocks; "
+        f"batch of {n} lanes does not tile — use the masked loop "
+        "(shrink_schedule=None) for odd-sized batches")
 
     folded = nee_mode == "folded" and use_nee and scene.num_lights > 0
     eval_env_maybe_pdf = _make_env_evaluator(scene, folded)

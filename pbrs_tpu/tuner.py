@@ -46,14 +46,12 @@ def _env_overrides():
     return tm, compact
 
 
-def _treelet_modes(scene):
-    """Trace-mode candidates for this scene's tracers."""
-    tracer_holders = []
+def _scene_treelet_scale(scene):
+    """True when any primitive family is large enough to be treelet-traced
+    (the scale where trace-mode / resort candidates can matter)."""
     try:
         from .accel import trace_pallas as tp
 
-        if jax.default_backend() in ("cpu",):
-            return [None]
         geom = scene.geom
         groups = getattr(scene, "instanced", ())
         counts = [int(np.asarray(geom.tri_p0).shape[0]),
@@ -67,11 +65,19 @@ def _treelet_modes(scene):
                 int(np.asarray(a).shape[0]) > tp.TREELET_THRESHOLD
                 for a in (gg.tri_p0, gg.quad_origin, gg.sph_center,
                           gg.disk_center))
-        if big:
-            return [None, "rowdense"]
+        return big
     except Exception:
-        pass
-    del tracer_holders
+        return False
+
+
+def _treelet_modes(scene):
+    """Trace-mode candidates for this scene's tracers."""
+    if jax.default_backend() in ("cpu",):
+        return [None]
+    if _scene_treelet_scale(scene):
+        # rowdyn falls back to rowdense per-tracer when its VMEM-gated
+        # table is unavailable, so it is always safe to measure.
+        return [None, "rowdense", "rowdyn"]
     return [None]
 
 
@@ -105,17 +111,6 @@ class TunedRender:
             self.scene, self.sampler, self.depth, self.msaa,
             self.trace_mode, self.integ, None, self.isect_fn,
             self.occl_fn, self.label + "/masked-tail", self.nee_mode)
-
-    def resized(self, n):
-        """Same configuration at a different lane count (resort-only
-        schedules are full-capacity, so they just track the batch)."""
-        if self.schedule is None or not self.resort                 or any(c < self.schedule[0] for c in self.schedule):
-            return self.masked() if self.schedule is not None                 and self.schedule[0] != n else self
-        return TunedRender(
-            self.scene, self.sampler, self.depth, self.msaa,
-            self.trace_mode, self.integ, (n,) * len(self.schedule),
-            self.isect_fn, self.occl_fn, self.label, self.nee_mode,
-            resort=True)
 
     def __call__(self, lanes, sample_ids):
         if self.integ is not None:
@@ -259,7 +254,10 @@ def tune(scene, sampler, lanes, sample_ids, depth=5, msaa=2,
                                             folded=True),
                      "wave-folded", "folded"))
         seen = set()
-        big = mode is not None or "rowdense" in [m for m in modes if m]
+        # Resort candidates only pay off on treelet-scale geometry (the
+        # row-cost tracers); gate on the scene's actual size, not on the
+        # caller having pinned a trace mode (ADVICE r4).
+        big = _scene_treelet_scale(scene)
         for integ, iname, nmode in integs:
             for comp in compacts:
                 s = (sched_folded if nmode == "folded" else sched) \

@@ -34,16 +34,20 @@ def _random_rays(n, lo, hi, seed=1, t_max=3e38):
 
 def _check_agreement(tr, rays):
     t1, i1 = tr.trace(rays)
-    t2, i2 = tr.trace(rays, mode="rowdense")
-    t1, i1, t2, i2 = map(np.asarray, (t1, i1, t2, i2))
-    np.testing.assert_array_equal(i1, i2)
-    np.testing.assert_allclose(
-        np.where(np.isfinite(t1), t1, -1.0),
-        np.where(np.isfinite(t2), t2, -1.0), rtol=1e-6, atol=1e-6)
-    t1a, _ = tr.trace(rays, any_hit=True)
-    t2a, _ = tr.trace(rays, any_hit=True, mode="rowdense")
-    np.testing.assert_array_equal(
-        np.isfinite(np.asarray(t1a)), np.isfinite(np.asarray(t2a)))
+    modes = ["rowdense"] + (["rowdyn"] if tr.rowdyn_ok else [])
+    for mode in modes:
+        t2, i2 = tr.trace(rays, mode=mode)
+        t1n, i1n, t2n, i2n = map(np.asarray, (t1, i1, t2, i2))
+        np.testing.assert_array_equal(i1n, i2n, err_msg=mode)
+        np.testing.assert_allclose(
+            np.where(np.isfinite(t1n), t1n, -1.0),
+            np.where(np.isfinite(t2n), t2n, -1.0), rtol=1e-6, atol=1e-6,
+            err_msg=mode)
+        t1a, _ = tr.trace(rays, any_hit=True)
+        t2a, _ = tr.trace(rays, any_hit=True, mode=mode)
+        np.testing.assert_array_equal(
+            np.isfinite(np.asarray(t1a)), np.isfinite(np.asarray(t2a)),
+            err_msg=mode)
 
 
 def test_rowdense_matches_onehot_single_chunk():
