@@ -108,9 +108,77 @@ def _uniform(bits):
     return top.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
-def _u1(seed, pixel, sample, bounce, dim, lane=0):
-    return _uniform(_hash_u32(seed, pixel, sample, bounce * 16 + dim,
-                              jnp.uint32(lane)))
+def _reverse_bits_u32(x):
+    x = x.astype(jnp.uint32)
+    x = (x << jnp.uint32(16)) | (x >> jnp.uint32(16))
+    x = (((x & jnp.uint32(0x00FF00FF)) << jnp.uint32(8))
+         | ((x & jnp.uint32(0xFF00FF00)) >> jnp.uint32(8)))
+    x = (((x & jnp.uint32(0x0F0F0F0F)) << jnp.uint32(4))
+         | ((x & jnp.uint32(0xF0F0F0F0)) >> jnp.uint32(4)))
+    x = (((x & jnp.uint32(0x33333333)) << jnp.uint32(2))
+         | ((x & jnp.uint32(0xCCCCCCCC)) >> jnp.uint32(2)))
+    x = (((x & jnp.uint32(0x55555555)) << jnp.uint32(1))
+         | ((x & jnp.uint32(0xAAAAAAAA)) >> jnp.uint32(1)))
+    return x
+
+
+def _laine_karras(x, seed_key):
+    x = x.astype(jnp.uint32) + seed_key.astype(jnp.uint32)
+    x = x ^ (x * jnp.uint32(0x6C50B47C))
+    x = x ^ (x * jnp.uint32(0xB82F1E52))
+    x = x ^ (x * jnp.uint32(0xC7AFE638))
+    x = x ^ (x * jnp.uint32(0x8D22F6E6))
+    return x
+
+
+def _nested_scramble(x, seed_key):
+    return _reverse_bits_u32(_laine_karras(_reverse_bits_u32(x), seed_key))
+
+
+def _sobol_u32(index, dim):
+    index = index.astype(jnp.uint32)
+    if dim == 0:
+        return _reverse_bits_u32(index)
+    out = jnp.zeros(jnp.shape(index), jnp.uint32)
+    for k in range(32):
+        bit = (index >> jnp.uint32(k)) & jnp.uint32(1)
+        out = out ^ (bit * jnp.uint32(smp._SOBOL_DIM1[k]))
+    return out
+
+
+def _u1(seed, pixel, sample, bounce, dim, lane=0, rng="pcg"):
+    """In-kernel uniform draw, stream-identical to core/sampler.py.
+
+    rng='pcg' reproduces PCGSampler.u1(pixel, sample, bounce, dim, lane).
+    rng='sobol' reproduces SobolSampler: lane selects the base-2 Sobol'
+    dimension of the (bounce, dim) pair — lane 0 == SobolSampler.u1 and
+    the u2 first component, lane 1 == the u2 second component (the core
+    sampler keys both pair components with hash-lane 0)."""
+    if rng == "pcg":
+        return _uniform(_hash_u32(seed, pixel, sample, bounce * 16 + dim,
+                                  jnp.uint32(lane)))
+    assert rng == "sobol", rng
+    dkey = bounce * 16 + dim
+    zero = jnp.uint32(0)
+    shuffle_key = _hash_u32(seed, pixel, dkey, zero,
+                            jnp.uint32(0x51633E2D))
+    scramble_key = _hash_u32(seed, pixel, dkey, zero,
+                             jnp.uint32(0x68BC21EB) + jnp.uint32(lane))
+    idx = _nested_scramble(sample.astype(jnp.uint32)
+                           if hasattr(sample, "astype")
+                           else jnp.uint32(sample), shuffle_key)
+    return _uniform(_nested_scramble(_sobol_u32(idx, lane), scramble_key))
+
+
+def rng_kind(sampler) -> str:
+    """Static in-kernel RNG selector for a core sampler instance."""
+    if isinstance(sampler, smp.SobolSampler):
+        return "sobol"
+    if isinstance(sampler, smp.PCGSampler):
+        return "pcg"
+    raise TypeError(
+        f"fused kernels reproduce PCG/Sobol streams in-kernel; "
+        f"{type(sampler).__name__} must use the general wavefront")
 
 
 def _concentric_disk(x, y):
@@ -261,6 +329,7 @@ def _occluded(cols, counts, ox, oy, oz, dx, dy, dz, t_max):
 def _bounce_kernel(
     *refs,
     counts, n_mats, n_area, env_kind, bounce_is_first, rr_active,
+    rng="pcg",
 ):
     cols = refs[:16]
     (mats_ref, lights_ref, ints_ref, scal_ref) = refs[16:20]
@@ -462,11 +531,16 @@ def _bounce_kernel(
         has_env = 1 if env_kind != lt.ENV_NONE else 0
         n_lights = n_area + has_env
         if n_lights > 0:
-            u_sel = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_SELECT)
-            u_l0 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 0)
-            u_l1 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 1)
-            u_s0 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 0)
-            u_s1 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 1)
+            u_sel = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_SELECT,
+                        rng=rng)
+            u_l0 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 0,
+                       rng=rng)
+            u_l1 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 1,
+                       rng=rng)
+            u_s0 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 0,
+                       rng=rng)
+            u_s1 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 1,
+                       rng=rng)
             chosen = jnp.minimum(
                 (u_sel * n_lights).astype(jnp.int32), n_lights - 1
             )
@@ -640,8 +714,10 @@ def _bounce_kernel(
             n_rays += 2.0 * jnp.sum(alive.astype(jnp.float32))
 
         # ---- BSDF sample for next direction (cosine hemisphere) ----
-        u_b0 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 0)
-        u_b1 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 1)
+        u_b0 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 0,
+                   rng=rng)
+        u_b1 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 1,
+                   rng=rng)
         ux_ = u_b1 * 2.0 - 1.0
         uy_ = u_b0 * 2.0 - 1.0
         ddx, ddy = _concentric_disk(ux_, uy_)
@@ -661,7 +737,8 @@ def _bounce_kernel(
         if rr_active:
             lum = 0.21267127 * nbr + 0.71515972 * nbg + 0.07216883 * nbb
             q = jnp.maximum(0.05, 1.0 - lum)
-            u_rr = _u1(seed, pix, smp_id, bounce, smp.DIM_RUSSIAN_ROULETTE)
+            u_rr = _u1(seed, pix, smp_id, bounce,
+                       smp.DIM_RUSSIAN_ROULETTE, rng=rng)
             killed = u_rr < q
             alive = alive & ~killed
             scale = jnp.where(alive, 1.0 / jnp.maximum(1.0 - q, 1e-6), 1.0)
@@ -728,6 +805,7 @@ class FusedDiffuseIntegrator:
         from ..geometry import camera as cam_mod
         from ..integrators import wavefront
 
+        rng = rng_kind(sampler)
         rays = wavefront.camera_rays(self.scene, sampler, pixel_idx,
                                      sample_idx, msaa)
         n = rays.origin.shape[0]
@@ -768,7 +846,7 @@ class FusedDiffuseIntegrator:
                 n_area=self.n_area, env_kind=self.env_kind,
                 bounce_is_first=(bounce == 0),
                 rr_active=(bounce > rr_start),
-                interpret=self.interpret,
+                interpret=self.interpret, rng=rng,
             )
             (rr_, rg_, rb_, ox, oy, oz, dx, dy, dz,
              br_, bg_, bb_, alive, cnt) = out
@@ -791,12 +869,12 @@ class FusedDiffuseIntegrator:
 @functools.partial(
     jax.jit,
     static_argnames=("counts", "n_mats", "n_area", "env_kind",
-                     "bounce_is_first", "rr_active", "interpret"),
+                     "bounce_is_first", "rr_active", "interpret", "rng"),
 )
 def _bounce_call(params, mats, lights, ints, scal,
                  ox, oy, oz, dx, dy, dz, br, bg, bb, alive, pix, samp,
                  counts, n_mats, n_area, env_kind, bounce_is_first,
-                 rr_active, interpret):
+                 rr_active, interpret, rng="pcg"):
     # params: tuple of 16 1-D SMEM prim columns.
     rows = ox.shape[0]
     grid = (rows // BLOCK_ROWS,)
@@ -807,7 +885,7 @@ def _bounce_call(params, mats, lights, ints, scal,
     kernel = functools.partial(
         _bounce_kernel, counts=counts, n_mats=n_mats, n_area=n_area,
         env_kind=env_kind, bounce_is_first=bounce_is_first,
-        rr_active=rr_active,
+        rr_active=rr_active, rng=rng,
     )
     n_out = 14
     shp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)

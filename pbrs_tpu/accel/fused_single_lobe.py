@@ -506,7 +506,7 @@ def _sample_lobe(mat, wolx, woly, wolz, su0, su1, eval_pdf, has):
 def _bounce2_kernel(
     *refs,
     counts, n_mats, n_area, n_delta, env_kind, present_kinds, light_shapes,
-    two_slots, n_texs, tex_kinds, bounce_is_first, rr_active,
+    two_slots, n_texs, tex_kinds, bounce_is_first, rr_active, rng="pcg",
 ):
     cols = refs[:16]
     (mats_ref, lights_ref, delta_ref, texs_ref, ints_ref,
@@ -982,11 +982,16 @@ def _bounce2_kernel(
         has_env = 1 if env_kind != lt.ENV_NONE else 0
         n_lights = n_delta + n_area + has_env
         if n_lights > 0:
-            u_sel = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_SELECT)
-            u_l0 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 0)
-            u_l1 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 1)
-            u_s0 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 0)
-            u_s1 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 1)
+            u_sel = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_SELECT,
+                        rng=rng)
+            u_l0 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 0,
+                       rng=rng)
+            u_l1 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 1,
+                       rng=rng)
+            u_s0 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 0,
+                       rng=rng)
+            u_s1 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 1,
+                       rng=rng)
             chosen = jnp.minimum(
                 (u_sel * n_lights).astype(jnp.int32), n_lights - 1
             )
@@ -1449,8 +1454,10 @@ def _bounce2_kernel(
             n_rays += 2.0 * jnp.sum(alive.astype(jnp.float32))
 
         # ---- BSDF sample for the next direction ----
-        u_b0 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 0)
-        u_b1 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 1)
+        u_b0 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 0,
+                   rng=rng)
+        u_b1 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 1,
+                   rng=rng)
         (bf_r, bf_g, bf_b, b_wlx, b_wly, b_wlz, b_pdf, b_delta) = sample_mix(
             u_b0, u_b1)
         wnx, wny, wnz = to_world(b_wlx, b_wly, b_wlz)
@@ -1465,7 +1472,8 @@ def _bounce2_kernel(
         if rr_active:
             lum = 0.21267127 * nbr + 0.71515972 * nbg + 0.07216883 * nbb
             q = jnp.maximum(0.05, 1.0 - lum)
-            u_rr = _u1(seed, pix, smp_id, bounce, smp.DIM_RUSSIAN_ROULETTE)
+            u_rr = _u1(seed, pix, smp_id, bounce,
+                       smp.DIM_RUSSIAN_ROULETTE, rng=rng)
             killed = u_rr < q
             alive = alive & ~killed
             scale = jnp.where(alive, 1.0 / jnp.maximum(1.0 - q, 1e-6), 1.0)
@@ -1496,14 +1504,14 @@ def _bounce2_kernel(
     static_argnames=("counts", "n_mats", "n_area", "n_delta", "env_kind",
                      "present_kinds", "light_shapes", "two_slots", "n_texs",
                      "tex_kinds", "bounce_is_first", "rr_active",
-                     "interpret"),
+                     "interpret", "rng"),
 )
 def _bounce2_call(params, mats, mats_splits, prim_splits, lights, delta,
                   texs, ints, scal,
                   ox, oy, oz, dx, dy, dz, br, bg, bb, alive, spec, pix, samp,
                   counts, n_mats, n_area, n_delta, env_kind, present_kinds,
                   light_shapes, two_slots, n_texs, tex_kinds,
-                  bounce_is_first, rr_active, interpret):
+                  bounce_is_first, rr_active, interpret, rng="pcg"):
     rows = ox.shape[0]
     grid = (rows // BLOCK_ROWS,)
     blk = lambda: pl.BlockSpec(
@@ -1515,7 +1523,7 @@ def _bounce2_call(params, mats, mats_splits, prim_splits, lights, delta,
         n_delta=n_delta, env_kind=env_kind, present_kinds=present_kinds,
         light_shapes=light_shapes, two_slots=two_slots, n_texs=n_texs,
         tex_kinds=tex_kinds, bounce_is_first=bounce_is_first,
-        rr_active=rr_active,
+        rr_active=rr_active, rng=rng,
     )
     shp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     ishp = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -1663,7 +1671,9 @@ class FusedSingleLobeIntegrator:
     def render_samples(self, sampler, pixel_idx, sample_idx, max_depth=5,
                        msaa=2, rr_start=3, return_ray_count=False):
         from ..integrators import wavefront
+        from .fused_kernel import rng_kind
 
+        rng = rng_kind(sampler)
         rays = wavefront.camera_rays(self.scene, sampler, pixel_idx,
                                      sample_idx, msaa)
         n = rays.origin.shape[0]
@@ -1711,7 +1721,7 @@ class FusedSingleLobeIntegrator:
                 n_texs=self.n_texs, tex_kinds=self.tex_kinds,
                 bounce_is_first=(bounce == 0),
                 rr_active=(bounce > rr_start),
-                interpret=self.interpret,
+                interpret=self.interpret, rng=rng,
             )
             (rr_, rg_, rb_, ox, oy, oz, dx, dy, dz,
              br_, bg_, bb_, alive, spec, cnt) = out

@@ -53,7 +53,8 @@ from ..geometry import ray as ray_mod
 from ..lights import env_sampling as es_mod
 from ..lights import lights as lt
 from ..lights import sample_shape as ss
-from .fused_kernel import (LANES, BLOCK_ROWS, T_MIN, SPAWN_EPS, INV_PI, _u1, _concentric_disk)
+from .fused_kernel import (LANES, BLOCK_ROWS, T_MIN, SPAWN_EPS, INV_PI,
+                           _u1, _concentric_disk, rng_kind)
 from .fused_single_lobe import (
     _weak_recip, _fr_dielectric, _fresnel_rgb, _d_ndf, _lambda_iso,
     _sample_lobe,
@@ -147,7 +148,7 @@ def _masked_gather_w(idx_plane, scalar_fn, n_rows, n_keep):
 def _shade_kernel(
     *refs,
     n_mats, n_area, n_delta, present_kinds, light_shapes, n_slots,
-    textured_slots, has_env, env_is, folded=False,
+    textured_slots, has_env, env_is, folded=False, rng="pcg",
 ):
     (mats_ref, lights_ref, delta_ref, ints_ref, scal_ref) = refs[:5]
     (mhi_ref, mmid_ref, mlo_ref) = refs[5:8]
@@ -481,8 +482,10 @@ def _shade_kernel(
         # folded mode the NEE BSDF-sampled MIS arm shares this sample and
         # the next bounce's closest hit resolves its visibility; the
         # counter-based RNG makes draw order immaterial) ----
-        u_b0 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 0)
-        u_b1 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 1)
+        u_b0 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 0,
+                   rng=rng)
+        u_b1 = _u1(seed, pix, smp_id, bounce, smp.DIM_BSDF_UV, 1,
+                   rng=rng)
         (bf_r, bf_g, bf_b, b_wlx, b_wly, b_wlz, b_pdf,
          b_delta) = sample_mix(u_b0, u_b1)
         wnx, wny, wnz = to_world(b_wlx, b_wly, b_wlz)
@@ -490,12 +493,17 @@ def _shade_kernel(
         # ---- NEE: one light among delta + area + env ----
         n_lights = n_delta + n_area + has_env
         if n_lights > 0:
-            u_sel = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_SELECT)
-            u_l0 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 0)
-            u_l1 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 1)
+            u_sel = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_SELECT,
+                        rng=rng)
+            u_l0 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 0,
+                       rng=rng)
+            u_l1 = _u1(seed, pix, smp_id, bounce, smp.DIM_LIGHT_UV, 1,
+                       rng=rng)
             if not folded:
-                u_s0 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 0)
-                u_s1 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV, 1)
+                u_s0 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV,
+                           0, rng=rng)
+                u_s1 = _u1(seed, pix, smp_id, bounce, smp.DIM_SCATTER_UV,
+                           1, rng=rng)
             chosen = jnp.minimum(
                 (u_sel * n_lights).astype(jnp.int32), n_lights - 1
             )
@@ -996,7 +1004,8 @@ def _shade_kernel(
 
         lum = 0.21267127 * nbr + 0.71515972 * nbg + 0.07216883 * nbb
         q = jnp.maximum(0.05, 1.0 - lum)
-        u_rr = _u1(seed, pix, smp_id, bounce, smp.DIM_RUSSIAN_ROULETTE)
+        u_rr = _u1(seed, pix, smp_id, bounce,
+                   smp.DIM_RUSSIAN_ROULETTE, rng=rng)
         killed = rr_on & (u_rr < q)
         alive = alive & ~killed
         scale = jnp.where(rr_on & alive,
@@ -1024,12 +1033,12 @@ def _shade_kernel(
     jax.jit,
     static_argnames=("n_mats", "n_area", "n_delta", "present_kinds",
                      "light_shapes", "n_slots", "textured_slots", "has_env",
-                     "env_is", "folded", "interpret"),
+                     "env_is", "folded", "interpret", "rng"),
 )
 def _shade_call(mats, mats_splits, lights, delta, ints, scal, in_planes,
                 n_mats, n_area, n_delta, present_kinds, light_shapes,
                 n_slots, textured_slots, has_env, env_is, folded,
-                interpret):
+                interpret, rng="pcg"):
     rows = in_planes[0].shape[0]
     grid = (rows // BLOCK_ROWS,)
     blk = lambda: pl.BlockSpec(
@@ -1040,7 +1049,7 @@ def _shade_call(mats, mats_splits, lights, delta, ints, scal, in_planes,
         _shade_kernel, n_mats=n_mats, n_area=n_area, n_delta=n_delta,
         present_kinds=present_kinds, light_shapes=light_shapes,
         n_slots=n_slots, textured_slots=textured_slots, has_env=has_env,
-        env_is=env_is, folded=folded,
+        env_is=env_is, folded=folded, rng=rng,
     )
     shp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     ishp = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -1277,7 +1286,7 @@ class FusedWaveIntegrator:
             light_shapes=self.light_shapes, n_slots=self.n_slots,
             textured_slots=self.textured_slots, has_env=self.has_env,
             env_is=self.env_is, folded=self.folded,
-            interpret=self.interpret,
+            interpret=self.interpret, rng=rng_kind(sampler),
         )
         (rr_, rg_, rb_,
          s1dx, s1dy, s1dz, s1t, s1side, c1r, c1g, c1b,
@@ -1577,7 +1586,7 @@ class FusedWaveIntegrator:
                 light_shapes=self.light_shapes, n_slots=self.n_slots,
                 textured_slots=self.textured_slots, has_env=self.has_env,
                 env_is=self.env_is, folded=self.folded,
-                interpret=self.interpret,
+                interpret=self.interpret, rng=rng_kind(sampler),
             )
             (rr_, rg_, rb_,
              s1dx, s1dy, s1dz, s1t, s1side, c1r, c1g, c1b,

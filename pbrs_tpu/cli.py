@@ -35,7 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", default="pcg",
                    choices=["pcg", "sobol", "threefry"],
                    help="random sampler: pcg hash (default) or "
-                        "Owen-scrambled Sobol (lower variance at equal spp)")
+                        "Owen-scrambled Sobol (lower variance at equal "
+                        "spp); both run the fused TPU kernels, threefry "
+                        "takes the general wavefront")
     p.add_argument("--resolution", default=None, metavar="WxH",
                    help="override the scene camera resolution")
     p.add_argument("--filter", default=None, metavar="KIND:RADIUS",

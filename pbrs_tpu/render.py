@@ -129,7 +129,7 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
     use_tuner = (
         (trace_mode == "auto" or compact == "auto")
         and integrator == "path" and use_nee and pixel_filter is None
-        and sampler_kind == "pcg" and on_device
+        and sampler_kind in ("pcg", "sobol") and on_device
     )
     if trace_mode == "auto":
         trace_mode = None
@@ -142,10 +142,11 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
     use_fused = False
     use_fused_sl = False
     use_fused_wave = False
-    # Fused megakernels reproduce the PCG stream in-kernel; other samplers
-    # route through the general wavefront.
+    # Fused megakernels reproduce the PCG and Owen-scrambled-Sobol streams
+    # in-kernel (fused_kernel._u1); threefry routes through the general
+    # wavefront.
     if integrator == "path" and use_nee and pixel_filter is None and (
-        sampler_kind == "pcg"
+        sampler_kind in ("pcg", "sobol")
     ) and on_device and not use_tuner:
         from .accel import fused_kernel as fk
         from .accel import fused_single_lobe as fsl

@@ -28,6 +28,8 @@ PBRS_COMPACT env vars, kept for profiling) bypass measurement.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import time
 
@@ -37,6 +39,81 @@ import numpy as np
 
 from .accel import dispatch as trace_dispatch
 from .integrators import wavefront
+
+# Bump when kernel families / candidate semantics change: stale cached
+# winners must not outlive the kernels they were measured against.
+TUNER_CACHE_VERSION = 1
+_CACHE_DIR_ENV = "PBRS_TUNER_CACHE"
+
+
+def _scene_fingerprint(scene):
+    """Cheap, stable identity for tuning decisions: family/material/light
+    shapes + world-extent content sample. Two scenes with the same
+    fingerprint have the same kernel-eligibility and (to the pilot's
+    resolution) the same cost structure."""
+    g = scene.geom
+
+    def cnt(a):
+        return int(np.asarray(a).shape[0])
+
+    parts = [cnt(g.tri_p0), cnt(g.quad_origin), cnt(g.sph_center),
+             cnt(g.disk_center), int(scene.num_lights)]
+    try:
+        mk = np.asarray(scene.materials.kind)
+        parts.append(list(mk.shape))
+        parts.append([int(x) for x in mk.reshape(-1)])
+    except Exception:
+        pass
+    env = getattr(scene, "env", None)
+    parts.append(getattr(env, "kind", None) if env is not None else None)
+    for grp in getattr(scene, "instanced", ()):
+        gg = grp.geom
+        parts.append(("grp", cnt(gg.tri_p0), cnt(gg.quad_origin),
+                      cnt(gg.sph_center), cnt(gg.disk_center),
+                      int(np.asarray(grp.fwd).shape[0])))
+    # Content sample: geometry extents (rounded) catch same-shape scenes
+    # with different layouts without hashing full buffers.
+    for a in (g.tri_p0, g.quad_origin, g.sph_center, g.disk_center):
+        arr = np.asarray(a)
+        if arr.size:
+            parts.append([round(float(x), 3)
+                          for x in (arr.min(0).tolist()
+                                    + arr.max(0).tolist())])
+    blob = json.dumps(parts, sort_keys=True).encode()
+    return hashlib.sha1(blob).hexdigest()[:16]
+
+
+def _cache_path(key):
+    root = os.environ.get(_CACHE_DIR_ENV) or ".pbrs_tuner"
+    return os.path.join(root, f"{key}.json")
+
+
+def _cache_key(scene, n_lanes, depth, msaa, trace_mode, compact):
+    dev = jax.devices()[0].device_kind if jax.devices() else "none"
+    blob = json.dumps([TUNER_CACHE_VERSION, _scene_fingerprint(scene),
+                       int(n_lanes), int(depth), int(msaa),
+                       str(trace_mode), str(compact), dev]).encode()
+    return hashlib.sha1(blob).hexdigest()[:24]
+
+
+def _cache_load(key):
+    try:
+        with open(_cache_path(key)) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _cache_store(key, rec):
+    try:
+        root = os.environ.get(_CACHE_DIR_ENV) or ".pbrs_tuner"
+        os.makedirs(root, exist_ok=True)
+        tmp = _cache_path(key) + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, _cache_path(key))
+    except Exception:
+        pass  # caching is best-effort; never fail a render over it
 
 
 def _env_overrides():
@@ -195,6 +272,52 @@ def tune(scene, sampler, lanes, sample_ids, depth=5, msaa=2,
 
             print(f"  [tune] {msg}", file=sys.stderr, flush=True)
 
+    def rebuild(rec):
+        """TunedRender from a cached winner record (no measurement)."""
+        mode = rec["mode"]
+        isect_fn, occl_fn = trace_dispatch.make_trace_fns(
+            scene, trace_mode=mode)
+        iname = rec["integ"]
+        if iname == "general":
+            integ = None
+        elif iname == "wave":
+            integ = fw.FusedWaveIntegrator(
+                scene, trace_mode=mode, folded=rec["nee_mode"] == "folded")
+        else:
+            return None
+        sched = rec["schedule"]
+        return TunedRender(
+            scene, sampler, depth, msaa, mode, integ,
+            tuple(sched) if sched is not None else None,
+            isect_fn, occl_fn, rec["label"], nee_mode=rec["nee_mode"],
+            resort=bool(rec.get("resort", False)))
+
+    def serialize(cand):
+        return {
+            "label": cand.label,
+            "mode": cand.trace_mode,
+            "integ": "general" if cand.integ is None else "wave",
+            "nee_mode": cand.nee_mode,
+            "schedule": (list(cand.schedule)
+                         if cand.schedule is not None else None),
+            "resort": bool(cand.resort),
+        }
+
+    cache_key = None
+    if os.environ.get("PBRS_TUNER_NOCACHE") != "1":
+        try:
+            cache_key = _cache_key(scene, lanes.shape[0], depth, msaa,
+                                   trace_mode, compact)
+            rec = _cache_load(cache_key)
+            if rec is not None:
+                cand = rebuild(rec)
+                if cand is not None:
+                    log(f"cache hit ({cache_key}): {cand.label}")
+                    return cand
+        except Exception as e:
+            log(f"cache lookup failed ({type(e).__name__}: {e})")
+            cache_key = None
+
     modes = ([trace_mode] if trace_mode != "auto"
              else _treelet_modes(scene))
     compacts = [compact] if compact != "auto" else [False, True]
@@ -305,5 +428,7 @@ def tune(scene, sampler, lanes, sample_ids, depth=5, msaa=2,
         isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene)
         best = TunedRender(scene, sampler, depth, msaa, None, None, None,
                            isect_fn, occl_fn, "general/fallback")
+    elif cache_key is not None:
+        _cache_store(cache_key, serialize(best))
     log(f"selected {best.label}")
     return best

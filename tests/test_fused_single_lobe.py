@@ -70,8 +70,9 @@ def test_eligibility():
     assert not fsl.scene_supports_single_lobe(presets.mesh_ball(levels=3))
 
 
-def _compare(scene, pix_n=24, depth=5, samples=(0, 3), atol=3e-5):
-    sampler = smp.PCGSampler(0)
+def _compare(scene, pix_n=24, depth=5, samples=(0, 3), atol=3e-5,
+             sampler=None):
+    sampler = sampler if sampler is not None else smp.PCGSampler(0)
     pix = jnp.arange(pix_n * pix_n)
     integ = fsl.FusedSingleLobeIntegrator(scene, interpret=True)
     for s in samples:
@@ -266,3 +267,9 @@ def test_image_texture_stays_general():
     b.camera = cam_mod.looking_at(cam, (0, 2, -6), (0, 0.5, 0), (0, 1, 0))
     scene = b.build()
     assert not fsl.scene_supports_single_lobe(scene)
+
+
+def test_zoo_sobol_matches_general_path():
+    """rng='sobol' threading through the single-lobe kernel (VERDICT r4 #9)."""
+    _compare(_zoo_scene(), pix_n=16, depth=3, samples=(0,),
+             sampler=smp.SobolSampler(3))

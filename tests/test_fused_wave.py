@@ -81,8 +81,9 @@ def test_eligibility():
     assert fw.scene_supports_wave(presets.two_perlin_spheres())
 
 
-def _compare(scene, pix_n=24, depth=5, samples=(0, 3), atol=3e-5):
-    sampler = smp.PCGSampler(0)
+def _compare(scene, pix_n=24, depth=5, samples=(0, 3), atol=3e-5,
+             sampler=None):
+    sampler = sampler if sampler is not None else smp.PCGSampler(0)
     pix = _center_pix(scene, pix_n)
     isect_fn, occl_fn = trace_dispatch.make_trace_fns(scene,
                                                       use_pallas=False)
@@ -206,3 +207,9 @@ def test_folded_compacted_matches_folded_masked_wave():
     rad_c = np.asarray(integ.render_samples_compacted(
         sampler, pix, 0, sched, max_depth=depth, msaa=2))
     np.testing.assert_allclose(rad_c, rad_m, atol=3e-5, rtol=2e-4)
+
+
+def test_cornell_sobol_matches_general_path():
+    """rng='sobol' threading through the wave shade kernel (VERDICT r4 #9)."""
+    _compare(presets.cornell_box(), pix_n=16, depth=3, samples=(0,),
+             sampler=smp.SobolSampler(3))

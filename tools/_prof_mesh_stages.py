@@ -69,7 +69,9 @@ from pbrs_tpu import tuner
 for label, tm, comp in [("general-folded/onehot", "onehot", False),
                         ("general-folded/onehot/compact", "onehot", True),
                         ("general-folded/rowdense", "rowdense", False),
-                        ("general-folded/rowdense/compact", "rowdense", True)]:
+                        ("general-folded/rowdense/compact", "rowdense", True),
+                        ("general-folded/rowdyn", "rowdyn", False),
+                        ("general-folded/rowdyn/compact", "rowdyn", True)]:
     try:
         t = tuner.tune(scene, sampler, pix, sid, depth=depth, msaa=2,
                        trace_mode=tm, compact=comp, verbose=True)
@@ -97,7 +99,7 @@ for d in range(1, depth + 1):
 # ---- raw trace: coherent (morton) vs scrambled camera rays ----
 rng = np.random.default_rng(0)
 perm = jnp.asarray(rng.permutation(int(pix.shape[0])))
-for tm in ("onehot", "rowdense"):
+for tm in ("onehot", "rowdense", "rowdyn"):
     isect, occl = td.make_trace_fns(scene, trace_mode=tm)
     isect_j = jax.jit(isect)
     occl_rate = None
