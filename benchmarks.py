@@ -228,6 +228,10 @@ def main():
         "two_perlin_textured_800", presets.two_perlin_spheres(),
         (800, 800), 4, 5,
     ))
+    emit(run_config(
+        "fourier_plastic_800x600", presets.fourier_plastic(), (800, 608),
+        4, 5,
+    ))
 
     # BASELINE configs 4+5: the authored PBRT interior (scenes/interior) —
     # image env light, mixed materials, textures, PLY meshes, trace-time

@@ -79,8 +79,10 @@ def scene_supports_wave(scene) -> bool:
     textures and environment are unrestricted (all external)."""
     mt = scene.materials
     kinds = set(np.asarray(mt.kind).reshape(-1).tolist())
-    if kinds - _WAVE_KINDS:
+    if kinds - _WAVE_KINDS - {lb.FOURIER}:
         return False
+    if lb.FOURIER in kinds and mt.fourier is None:
+        return False  # fourier lobe without a table: general path
     km = np.asarray(mt.kind)
     alpha = np.asarray(mt.alpha)
     for s in range(km.shape[1]):
@@ -91,6 +93,14 @@ def scene_supports_wave(scene) -> bool:
     if mt.kind.shape[0] > MAX_MATS or scene.delta_lights.count > MAX_DELTA:
         return False
     return True
+
+
+def scene_supports_wave_folded(scene) -> bool:
+    """Folded-NEE wave eligibility: wave-supported AND no Fourier lobes
+    (the external Fourier shade override is twoarm-only)."""
+    mt = scene.materials
+    kinds = set(np.asarray(mt.kind).reshape(-1).tolist())
+    return scene_supports_wave(scene) and lb.FOURIER not in kinds
 
 
 def _onehot_gather_w(idx_plane, split_refs, n_keep):
@@ -1188,8 +1198,114 @@ class FusedWaveIntegrator:
         self.has_env = 1 if scene.env.kind != lt.ENV_NONE else 0
         self.env_is = bool(self.has_env) and getattr(
             scene.env, "dist", None) is not None
+        self.has_fourier = lb.FOURIER in set(
+            np.asarray(scene.materials.kind).reshape(-1).tolist())
+        if self.folded and self.has_fourier:
+            raise ValueError(
+                "wave folded NEE does not support Fourier materials "
+                "(the external Fourier shade override is twoarm-only); "
+                "use folded=False or the general path")
 
     # ------------------------------------------------------------------
+
+    def _fourier_override(self, sampler, rays, hit, pix, sid, bounce,
+                          beta3, alive_v, rr_start, out, prep, unprep):
+        """Measured-BSDF (Fourier) lanes: shade OUTSIDE the kernel.
+
+        The wave architecture already splits trace (external) from shade
+        (in-kernel); Fourier shading — Catmull-Rom mu interpolation +
+        Chebyshev series over variable-length coefficient runs
+        (bxdf/fourier.py; reference geometry/src/fourier.rs:299-485) — is
+        per-lane-gather-heavy, exactly the shape XLA handles and Mosaic
+        does not. So lanes whose material carries a FOURIER lobe get their
+        shade results computed by the *general path's own functions*
+        (bsdf.sample_bsdf + nee.uniform_sample_one_light) with the same
+        counter-RNG draws, then written over the kernel's output planes.
+        The kernel's shadow descriptors are disarmed (t_max=0) for those
+        lanes; NEE occlusion for them runs inside nee. Counter-based RNG
+        means the duplicate in-kernel draws cost nothing semantically.
+        Twoarm NEE only: the folded constructor rejects Fourier scenes.
+        """
+        from ..bxdf import bsdf as bsdf_mod
+        from ..integrators import nee
+        from ..materials import table as mat_mod
+        from .. import radiometry
+
+        scene = self.scene
+        lobes, _emit = mat_mod.shading_at(
+            scene.materials, scene.textures, hit.mat_id, hit.uv, hit.pos)
+        fmask = jnp.any(lobes.kind == lb.FOURIER, axis=-1) & hit.hit
+        alive_hit = alive_v & hit.hit
+        gate = fmask & alive_hit
+
+        frame = bsdf_mod.make_frame(hit.normal, hit.dpdu)
+        wo = hit.wo
+        u_bsdf = sampler.u2(pix, sid, bounce, smp.DIM_BSDF_UV)
+        f, wi, pdf, is_delta = bsdf_mod.sample_bsdf(lobes, frame, wo,
+                                                    u_bsdf)
+
+        l_direct = jnp.zeros((wi.shape[0], 3), jnp.float32)
+        if scene.num_lights > 0:
+            u_sel = sampler.u1(pix, sid, bounce, smp.DIM_LIGHT_SELECT)
+            u_light = sampler.u2(pix, sid, bounce, smp.DIM_LIGHT_UV)
+            u_scatter = sampler.u2(pix, sid, bounce, smp.DIM_SCATTER_UV)
+            l_direct = nee.uniform_sample_one_light(
+                scene, lobes, frame, hit.pos, hit.normal, wo,
+                u_sel, u_light, u_scatter, occlude_fn=self.occlude_fn,
+                alive=gate)
+
+        from ..core import vecmath as vm
+
+        cos_term = jnp.abs(vm.dot(wi, frame.n))
+        step_ok = (pdf > 0.0) & ((f[..., 0] > 0.0) | (f[..., 1] > 0.0)
+                                 | (f[..., 2] > 0.0))
+        alive_f = alive_hit & step_ok
+        beta_f = jnp.where(
+            alive_f[..., None],
+            beta3 * f * (cos_term * vm.weak_recip(pdf))[..., None], beta3)
+        q = jnp.maximum(0.05, 1.0 - radiometry.luminance(beta_f))
+        u_rr = sampler.u1(pix, sid, bounce, smp.DIM_RUSSIAN_ROULETTE)
+        rr_active = bounce > rr_start
+        killed = rr_active & (u_rr < q)
+        alive_f = alive_f & ~killed
+        rr_scale = jnp.where(rr_active & alive_f,
+                             1.0 / jnp.maximum(1.0 - q, 1e-6), 1.0)
+        beta_f = beta_f * rr_scale[..., None]
+        side = jnp.sign(vm.dot(wi, hit.normal))
+        side = jnp.where(side == 0.0, 1.0, side)
+
+        (rr_, rg_, rb_,
+         s1dx, s1dy, s1dz, s1t, s1side, c1r, c1g, c1b,
+         s2dx, s2dy, s2dz, s2t, s2side, c2r, c2g, c2b, ecr, ecg, ecb,
+         spdf_o,
+         ndx, ndy, ndz, nside, br_, bg_, bb_, alive_o, spec_o) = out
+
+        def sel(plane, new):
+            return prep(jnp.where(fmask, new, unprep(plane)))
+
+        def seli(plane, new):
+            return prep(jnp.where(fmask, new, unprep(plane)))
+
+        contrib = jnp.where(gate[..., None], beta3 * l_direct, 0.0)
+        zero = jnp.zeros(wi.shape[0], jnp.float32)
+        out = (
+            sel(rr_, unprep(rr_) + contrib[:, 0]),
+            sel(rg_, unprep(rg_) + contrib[:, 1]),
+            sel(rb_, unprep(rb_) + contrib[:, 2]),
+            s1dx, s1dy, s1dz, sel(s1t, zero), s1side,
+            sel(c1r, zero), sel(c1g, zero), sel(c1b, zero),
+            s2dx, s2dy, s2dz, sel(s2t, zero), s2side,
+            sel(c2r, zero), sel(c2g, zero), sel(c2b, zero),
+            sel(ecr, zero), sel(ecg, zero), sel(ecb, zero),
+            sel(spdf_o, zero),
+            sel(ndx, wi[:, 0]), sel(ndy, wi[:, 1]), sel(ndz, wi[:, 2]),
+            sel(nside, side),
+            sel(br_, beta_f[:, 0]), sel(bg_, beta_f[:, 1]),
+            sel(bb_, beta_f[:, 2]),
+            seli(alive_o, alive_f.astype(jnp.int32)),
+            seli(spec_o, (alive_f & is_delta).astype(jnp.int32)),
+        )
+        return out
 
     def _bounce_flat(self, sampler, rays, pix, sid, beta, alive_v, spec_v,
                      bounce, rr_start, pend=None):
@@ -1288,6 +1404,10 @@ class FusedWaveIntegrator:
             env_is=self.env_is, folded=self.folded,
             interpret=self.interpret, rng=rng_kind(sampler),
         )
+        if self.has_fourier:
+            out = self._fourier_override(
+                sampler, rays, hit, pix, sid, bounce, beta, alive_v,
+                rr_start, out, prep, unprep)
         (rr_, rg_, rb_,
          s1dx, s1dy, s1dz, s1t, s1side, c1r, c1g, c1b,
          s2dx, s2dy, s2dz, s2t, s2side, c2r, c2g, c2b, ecr, ecg, ecb,
@@ -1588,6 +1708,12 @@ class FusedWaveIntegrator:
                 env_is=self.env_is, folded=self.folded,
                 interpret=self.interpret, rng=rng_kind(sampler),
             )
+            if self.has_fourier:
+                beta3 = jnp.stack([unprep(beta[0]), unprep(beta[1]),
+                                   unprep(beta[2])], axis=-1)
+                out = self._fourier_override(
+                    sampler, rays, hit, pixel_idx, sample_idx, bounce,
+                    beta3, alive_v, rr_start, out, prep, unprep)
             (rr_, rg_, rb_,
              s1dx, s1dy, s1dz, s1t, s1side, c1r, c1g, c1b,
              s2dx, s2dy, s2dz, s2t, s2side, c2r, c2g, c2b, ecr, ecg, ecb,

@@ -306,6 +306,42 @@ def mesh_ball(levels: int = 4) -> Scene:
     return b.build()
 
 
+def fourier_plastic() -> Scene:
+    """Measured-BSDF (Fourier) benchmark scene: spheres with Fourier
+    tables of different albedos next to a microfacet plastic, over a
+    Fourier floor under a quad light. The reference loads SCATFUN .bsdf
+    assets (material/src/lib.rs:451-475, geometry/src/fourier.rs:54-96);
+    assets are absent from the snapshot, so the tables here are
+    synthesized Fourier expansions (bxdf/fourier.make_lambert_table) that
+    exercise the same device path: Catmull-Rom mu interpolation,
+    Chebyshev series eval, zenith/azimuth CDF-inversion sampling."""
+    from ..bxdf import fourier as fb
+
+    b = SceneBuilder()
+    floor_f = b.materials.add_fourier(fb.make_lambert_table(0.55, n_mu=32))
+    m_lo = b.materials.add_fourier(fb.make_lambert_table(0.25, n_mu=32))
+    m_hi = b.materials.add_fourier(fb.make_lambert_table(0.8, n_mu=32))
+    plastic = b.materials.add_plastic((0.25, 0.3, 0.5), (0.6, 0.6, 0.6),
+                                      0.08)
+    light_c = (10.0, 10.0, 10.0)
+    light = b.materials.add_diffuse_light(light_c)
+
+    g = b.geometry
+    g.add_quad((-10, 0, -10), (20, 0, 0), (0, 0, 20), floor_f)
+    g.add_sphere((-2.4, 1.0, 0.0), 1.0, m_lo)
+    g.add_sphere((0.0, 1.0, 0.0), 1.0, m_hi)
+    g.add_sphere((2.4, 1.0, 0.0), 1.0, plastic)
+    g.add_quad((-1.5, 6.0, -1.5), (3.0, 0, 0), (0, 0, 3.0), light)
+    b.lights.add_area_quad(light_c, (-1.5, 6.0, -1.5), (3.0, 0, 0),
+                           (0, 0, 3.0))
+    b.lights.env = DARK_ROOM
+
+    cam = cam_mod.make_camera((800, 600), 40.0)
+    b.camera = cam_mod.looking_at(cam, (0, 2.4, -8.0), (0, 1.0, 0),
+                                  (0, 1, 0))
+    return b.build()
+
+
 PRESETS = {
     "cornell_box": cornell_box,
     "quad": quad,
@@ -317,4 +353,5 @@ PRESETS = {
     "everything": everything,
     "env_mapped": env_mapped,
     "mesh_ball": mesh_ball,
+    "fourier_plastic": fourier_plastic,
 }

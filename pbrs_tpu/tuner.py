@@ -371,7 +371,8 @@ def tune(scene, sampler, lanes, sample_ids, depth=5, msaa=2,
             integs.append(
                 (fw.FusedWaveIntegrator(scene, trace_mode=mode), "wave",
                  "twoarm"))
-            if scene.num_lights > 0:
+            if scene.num_lights > 0 and fw.scene_supports_wave_folded(
+                    scene):
                 integs.append(
                     (fw.FusedWaveIntegrator(scene, trace_mode=mode,
                                             folded=True),

@@ -213,3 +213,20 @@ def test_cornell_sobol_matches_general_path():
     """rng='sobol' threading through the wave shade kernel (VERDICT r4 #9)."""
     _compare(presets.cornell_box(), pix_n=16, depth=3, samples=(0,),
              sampler=smp.SobolSampler(3))
+
+
+def test_fourier_wave_matches_general_path():
+    """Fourier materials in the wave integrator: the external shade
+    override (FusedWaveIntegrator._fourier_override) must reproduce the
+    general path exactly on identical RNG (round-4 VERDICT #4)."""
+    scene = presets.fourier_plastic()
+    assert fw.scene_supports_wave(scene)
+    assert not fw.scene_supports_wave_folded(scene)
+    _compare(scene, pix_n=16, depth=3, samples=(0,))
+
+
+def test_fourier_folded_constructor_rejected():
+    scene = presets.fourier_plastic()
+    with pytest.raises(ValueError):
+        fw.FusedWaveIntegrator(scene, folded=True, interpret=True,
+                               use_pallas=False)
