@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--phase_timings", action="store_true",
                    help="print per-phase device timings "
                         "(raygen/trace/occlude/shade) before rendering")
+    p.add_argument("--debug_checks", action="store_true",
+                   help="audit per-bounce invariants on-device (NaN "
+                        "radiance/throughput, non-unit normals/frames, "
+                        "hit t out of range, invalid pdfs) and print the "
+                        "violation table; exits nonzero on violations. "
+                        "Path integrator, general (unfused) pipeline.")
     return p
 
 
@@ -152,10 +158,18 @@ def main(argv=None) -> int:
         sampler_kind=args.sampler,
         trace_mode=None if args.trace_mode == "onehot" else args.trace_mode,
         compact={"auto": "auto", "on": True, "off": False}[args.compact],
+        debug_checks=args.debug_checks,
     )
     wall = time.time() - t0
     mrays = stats.traced_rays / max(stats.wall_time, 1e-9) / 1e6
     print(f"whole render time = {wall:.2f}s ({mrays:.1f} Mrays/s)")
+    rc = 0
+    if args.debug_checks and stats.audit is not None:
+        from .integrators import debug_audit as aud_mod
+
+        print(aud_mod.format_report(stats.audit))
+        if sum(stats.audit.values()):
+            rc = 2  # image still written below for inspection
 
     out = args.output or f"{scene_name}-{args.integrator}-{spp}spp.exr"
     if out.endswith(".png"):
@@ -163,7 +177,7 @@ def main(argv=None) -> int:
     else:
         io_image.write_exr(out, img)
     print(f"Image written to {out}")
-    return 0
+    return rc
 
 
 if __name__ == "__main__":

@@ -141,7 +141,7 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
                   rr_start=3, intersect_fn=None, occlude_fn=None,
                   use_nee=True, return_ray_count=False,
                   shrink_schedule=None, sort_blocks=True,
-                  nee_mode="twoarm", resort=False):
+                  nee_mode="twoarm", resort=False, audit=False):
     """Estimate radiance along camera rays. Returns [N,3].
 
     Every bounce, all lanes: closest-hit, emission on camera/post-delta
@@ -151,6 +151,12 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
     `shrink_schedule` (optional, tuple of per-bounce static lane
     capacities, schedule[0] == N) switches to the compacting loop: see
     `path_radiance_compacted`.
+
+    audit: thread per-bounce invariant violation counters through the
+    loop (see integrators/debug_audit.py); returns an extra [K] f32
+    vector. Diagnostic path: audit implies the masked (non-compacted)
+    loop. [ref: the reference's runtime assert layer —
+    interaction.rs:45-61, blas.rs:300-302, tlas/bvh.rs:62-71]
 
     nee_mode: "twoarm" traces a dedicated occlusion ray for the
     BSDF-sampled MIS arm (the reference's structure,
@@ -165,6 +171,11 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
         intersect_fn = lambda r: isect_mod.intersect(scene.geom, r)
     if occlude_fn is None:
         occlude_fn = lambda r: isect_mod.occluded(scene.geom, r)
+    if audit:
+        # The audit is a diagnostic: run the masked loop so counters map
+        # 1:1 onto (lane, bounce) with no permutation/roulette in the way.
+        shrink_schedule = None
+        resort = False
     if resort and not sort_blocks:
         # resort's only effect is the spatial block sort; with sorting off
         # the compacted loop would never permute — identical results to the
@@ -191,9 +202,14 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
     n = rays.origin.shape[0]
     folded = nee_mode == "folded" and use_nee and scene.num_lights > 0
     eval_env_maybe_pdf = _make_env_evaluator(scene, folded)
+    if audit:
+        from . import debug_audit as aud_mod
 
     def body(bounce, state):
-        rays, radiance, beta, alive, specular_bounce, ray_count, pend = state
+        (rays, radiance, beta, alive, specular_bounce, ray_count, pend,
+         aud) = state
+        alive_in = alive
+        in_rays = rays
         # Closest-hit rays this bounce = lanes with a live extent (alive
         # paths + folded-mode resolution-only lanes).
         ray_count = ray_count + jnp.sum((rays.t_max > 0.0).astype(
@@ -305,7 +321,11 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
         else:
             rays = rays.replace(t_max=jnp.where(alive, rays.t_max, 0.0))
 
-        return rays, radiance, beta, alive, is_delta, ray_count, pend
+        if audit:
+            aud = aud + aud_mod.audit_bounce(
+                in_rays, hit, frame, radiance, beta, f, wi, pdf, alive_in,
+                lobes=lobes, emit=emit)
+        return rays, radiance, beta, alive, is_delta, ray_count, pend, aud
 
     state = (
         rays,
@@ -315,10 +335,12 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
         jnp.zeros(n, bool),
         jnp.zeros((), jnp.float32),
         _zero_pending(n),
+        (jnp.zeros((len(aud_mod.AUDIT_KEYS),), jnp.float32) if audit
+         else jnp.zeros((), jnp.float32)),
     )
     state = jax.lax.fori_loop(0, max_depth, body, state)
-    rays, radiance, ray_count, pend = (state[0], state[1], state[5],
-                                       state[6])
+    rays, radiance, ray_count, pend, aud = (state[0], state[1], state[5],
+                                            state[6], state[7])
     if folded:
         # Epilogue: one closest-hit resolves the final bounce's pending.
         # Extent bounded to exactly what's owed: the chosen light's
@@ -334,6 +356,10 @@ def path_radiance(scene, rays, sampler, pixel_idx, sample_idx, max_depth=5,
         env, p_env = eval_env_maybe_pdf(rays.dir)
         radiance = _resolve_pending(pend, hit, env, radiance,
                                     lambda r, c: r + c, p_env=p_env)
+    if audit:
+        if return_ray_count:
+            return radiance, ray_count, aud
+        return radiance, aud
     if return_ray_count:
         return radiance, ray_count
     return radiance
@@ -750,7 +776,7 @@ def render_samples(scene, sampler, pixel_idx, sample_idx, max_depth=5, msaa=2,
                    intersect_fn=None, occlude_fn=None, use_nee=True,
                    return_ray_count=False, filter_inv_cdf=None,
                    shrink_schedule=None, sort_blocks=True,
-                   nee_mode="twoarm", resort=False):
+                   nee_mode="twoarm", resort=False, audit=False):
     """Camera rays + path integration for a (pixel, sample) batch."""
     rays, weight = camera_rays_weighted(
         scene, sampler, pixel_idx, sample_idx, msaa, filter_inv_cdf
@@ -760,9 +786,14 @@ def render_samples(scene, sampler, pixel_idx, sample_idx, max_depth=5, msaa=2,
         intersect_fn=intersect_fn, occlude_fn=occlude_fn, use_nee=use_nee,
         return_ray_count=return_ray_count, shrink_schedule=shrink_schedule,
         sort_blocks=sort_blocks, nee_mode=nee_mode, resort=resort,
+        audit=audit,
     )
     if weight is None:
         return out
+    if audit:
+        if return_ray_count:
+            return out[0] * weight[..., None], out[1], out[2]
+        return out[0] * weight[..., None], out[1]
     if return_ray_count:
         return out[0] * weight[..., None], out[1]
     return out * weight[..., None]

@@ -32,6 +32,8 @@ class RenderStats:
     # Estimated total rays traced (camera + bounce + shadow), filled by the
     # driver from depth / NEE configuration.
     traced_rays: int = 0
+    # --debug_checks: {invariant: violation count} (see debug_audit.py).
+    audit: dict | None = None
 
 
 @dataclass
@@ -92,7 +94,8 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
                  profile_dir: str | None = None,
                  sampler_kind: str = "pcg",
                  trace_mode: str | None = "auto",
-                 compact: bool | str = "auto"):
+                 compact: bool | str = "auto",
+                 debug_checks: bool = False):
     """Render the scene camera view. Returns (image [H,W,3], RenderStats).
 
     spp is rounded up to a square (msaa² stratification, matching the
@@ -126,10 +129,13 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
 
     on_device = use_pallas or (
         use_pallas is None and jax.default_backend() != "cpu")
+    if debug_checks and integrator != "path":
+        raise ValueError("--debug_checks audits the path integrator only")
     use_tuner = (
         (trace_mode == "auto" or compact == "auto")
         and integrator == "path" and use_nee and pixel_filter is None
         and sampler_kind in ("pcg", "sobol") and on_device
+        and not debug_checks
     )
     if trace_mode == "auto":
         trace_mode = None
@@ -147,7 +153,7 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
     # wavefront.
     if integrator == "path" and use_nee and pixel_filter is None and (
         sampler_kind in ("pcg", "sobol")
-    ) and on_device and not use_tuner:
+    ) and on_device and not use_tuner and not debug_checks:
         from .accel import fused_kernel as fk
         from .accel import fused_single_lobe as fsl
         from .accel import fused_wave as fw
@@ -233,7 +239,7 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
                 scene_, sampler_, pix, s, max_depth=max_depth, msaa=msaa,
                 use_nee=use_nee, intersect_fn=isect_fn,
                 occlude_fn=occl_fn, filter_inv_cdf=filter_inv,
-                shrink_schedule=sched)
+                shrink_schedule=sched, audit=debug_checks)
     elif integrator == "direct":
         def kernel(scene, sampler, pix, s, **_kw):
             rays = wavefront.camera_rays(scene, sampler, pix, s, msaa)
@@ -258,8 +264,11 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
             sid = jnp.repeat(
                 s_base + jnp.arange(batch), pix.shape[0]
             ).astype(jnp.int32)
-            rad = kernel(sc, sampler, lanes, sid)
-            return rad.reshape(batch, pix.shape[0], 3).sum(axis=0)
+            out = kernel(sc, sampler, lanes, sid)
+            if debug_checks:
+                rad, aud = out
+                return rad.reshape(batch, pix.shape[0], 3).sum(axis=0), aud
+            return out.reshape(batch, pix.shape[0], 3).sum(axis=0)
         return kernel(sc, sampler, pix, s_base)
 
     jitted = jax.jit(_step, static_argnames=("batch",))
@@ -279,6 +288,7 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
     # Per-chunk device-resident film accumulators: radiance stays on-device
     # until checkpoint/finish (host transfers dominate otherwise).
     dev_accum = [None] * n_chunks
+    audit_total = None
 
     def flush_device_film():
         for c, acc in enumerate(dev_accum):
@@ -325,6 +335,10 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
             staged = [jitted(scene, pix_dev[c], s, batch=batch)
                       for c in range(n_chunks)]
             for c, rad in enumerate(staged):
+                if debug_checks:
+                    rad, aud = rad
+                    audit_total = (aud if audit_total is None
+                                   else audit_total + aud)
                 dev_accum[c] = (
                     rad if dev_accum[c] is None else dev_accum[c] + rad
                 )
@@ -350,6 +364,10 @@ def render_image(scene, spp: int = 4, max_depth: int = 5, integrator: str = "pat
         if prev_term is not None:
             signal.signal(signal.SIGTERM, prev_term)
     flush_device_film()
+    if debug_checks and audit_total is not None:
+        from .integrators import debug_audit as aud_mod
+
+        stats.audit = aud_mod.report(audit_total)
     stats.wall_time = time.time() - t0
     # Ray accounting: per camera ray per bounce: 1 closest-hit + up to 2
     # shadow batches when NEE is on.
