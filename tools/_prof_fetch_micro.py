@@ -49,9 +49,9 @@ print(f"tris levels={levels}: t_count={bvh.t_count} t_pad={bvh.t_pad} "
 from pbrs_tpu.core import sampler as smp
 from pbrs_tpu.geometry import camera as cam_mod
 
-n = 1 << 19
 order = wavefront.morton_pixel_order(scene.camera.width,
                                      scene.camera.height)
+n = min(1 << 19, len(order))  # cap at the frame's pixel count
 pix = jnp.asarray(order[:n])
 sampler = smp.PCGSampler(0)
 rays_c = jax.jit(lambda: wavefront.camera_rays(
