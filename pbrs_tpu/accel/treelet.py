@@ -478,24 +478,27 @@ def _treelet_row_resident(boxes_ref, cboxes_ref, tab_ref,
 
 def _rowdense_kernel(boxes_ref, cboxes_ref, tab_ref,
                      ox, oy, oz, dx, dy, dz, tmax,
-                     t_out, idx_out, rowkey_s, *,
+                     t_out, idx_out, rowkey_s, *scratch,
                      kind, t_pad, t_count, treelet, any_hit,
                      rays=RAYS, subrows=SUBROWS, fetch="onehot",
                      debug_rounds=False):
+    tab_s, dma_sem = scratch if scratch else (None, None)
     for r in range(subrows):
         _rowdense_row(boxes_ref, cboxes_ref, tab_ref,
                       ox, oy, oz, dx, dy, dz, tmax, t_out, idx_out,
                       rowkey_s,
                       r, kind=kind, t_pad=t_pad, t_count=t_count,
                       treelet=treelet, any_hit=any_hit, rays=rays,
-                      fetch=fetch, debug_rounds=debug_rounds)
+                      fetch=fetch, debug_rounds=debug_rounds,
+                      tab_s=tab_s, dma_sem=dma_sem)
 
 
 def _rowdense_row(boxes_ref, cboxes_ref, tab_ref,
                   ox, oy, oz, dx, dy, dz, tmax,
                   t_out, idx_out, rowkey_s,
                   r, *, kind, t_pad, t_count, treelet, any_hit,
-                  rays=RAYS, fetch="onehot", debug_rounds=False):
+                  rays=RAYS, fetch="onehot", debug_rounds=False,
+                  tab_s=None, dma_sem=None):
     """Row-shared dense traversal: the whole 1024-lane row visits ONE
     treelet per round, chosen by the row-minimum entry key, and tests its
     64 slots densely on the VPU.
@@ -608,7 +611,34 @@ def _rowdense_row(boxes_ref, cboxes_ref, tab_ref,
 
         def body(state):
             rowkey, t_best, idx_best, nround = state
-            if fetch == "dyn":
+            if fetch == "dynhbm":
+                # HBM-resident dynamic fetch: same slot-major
+                # [t_pad, treelet, 3*nf] split table as fetch="dyn", but
+                # the table stays in HBM (memory_space=ANY) and the row's
+                # chosen treelet block is DMA'd into a VMEM scratch each
+                # round — ~treelet*3*nf*2 bytes per visit, no VMEM gate
+                # on the table size, so interior-scale meshes keep the
+                # no-matmul fetch. [round-4 VERDICT #1's scalar-prefetch
+                # DMA prescription; ref: BLAS node fetch in
+                # /root/reference/shape/src/blas.rs:422-476]
+                kmin_s = jnp.min(rowkey)  # scalar
+                tid = jnp.minimum(kmin_s & gmask, t_pad - 1)
+                rowkey = jnp.where(gid_col == tid, INT_MAX, rowkey)
+                cp = pltpu.make_async_copy(tab_ref.at[tid], tab_s,
+                                           dma_sem)
+                cp.start()
+                cp.wait()
+                v = tab_s[...]  # [treelet, 3*nf] bf16
+
+                def fget(k):
+                    return (v[:, k:k + 1].astype(jnp.float32)
+                            + v[:, nf + k:nf + k + 1].astype(jnp.float32)
+                            + v[:, 2 * nf + k:2 * nf + k + 1].astype(
+                                jnp.float32))
+
+                g = fget
+                kmin = jnp.broadcast_to(kmin_s, (1, 1))
+            elif fetch == "dyn":
                 # Dynamic fetch (round-4 VERDICT #1): the row's single
                 # chosen treelet is read with ONE scalar-indexed
                 # leading-dim load from the [t_pad, treelet, 3*nf] bf16
@@ -904,7 +934,7 @@ def _trace_blocks(boxes, cboxes, table, ray_comps, kind, n_chunks, t_count,
         treelet=treelet, any_hit=any_hit, rays=rays, subrows=subrows,
         resident=resident, debug_rounds=debug_rounds)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    anym = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
+    anym = lambda: pl.BlockSpec(memory_space=pl.ANY)
     rblk = lambda: pl.BlockSpec((subrows, rays), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
     rows = blocks * subrows
@@ -937,19 +967,27 @@ def _trace_blocks_rowdense(boxes, cboxes, table_flat, ray_comps, kind,
         treelet=treelet, any_hit=any_hit, rays=rays, subrows=subrows,
         fetch=fetch, debug_rounds=debug_rounds)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    anym = lambda: pl.BlockSpec(memory_space=pl.ANY)
     rblk = lambda: pl.BlockSpec((subrows, rays), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
     rows = blocks * subrows
+    scratch = [pltpu.VMEM((t_pad, 1), jnp.int32)]
+    if fetch == "dynhbm":
+        # Per-round DMA destination + completion semaphore; the table
+        # itself stays HBM-resident (ANY).
+        scratch += [pltpu.VMEM((treelet, 3 * nf), jnp.bfloat16),
+                    pltpu.SemaphoreType.DMA]
     return pl.pallas_call(
         kernel,
         grid=(blocks,),
-        in_specs=[vmem(), vmem(), vmem()] + [rblk()] * 7,
+        in_specs=[vmem(), vmem(),
+                  anym() if fetch == "dynhbm" else vmem()] + [rblk()] * 7,
         out_specs=(rblk(), rblk()),
         out_shape=(
             jax.ShapeDtypeStruct((rows, rays), jnp.float32),
             jax.ShapeDtypeStruct((rows, rays), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((t_pad, 1), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(boxes, cboxes, table_flat, *ray_comps)
 
@@ -1010,11 +1048,20 @@ class TreeletTracer:
         # bytes per treelet — gate on the padded size.
         dyn_bytes = self.t_pad * treelet * 128 * 2
         self.rowdyn_ok = self.rowdense_ok and dyn_bytes <= (6 << 20)
-        if self.rowdyn_ok:
-            flat = np.asarray(self.table_flat)  # [3*nf*treelet, t_pad]
+        # HBM-resident variant ("dynhbm"): the same slot-major table kept
+        # in HBM and DMA'd one treelet per round — no VMEM gate, so it
+        # serves meshes far past the rowdense/rowdyn limits. Unpadded
+        # footprint (3*nf lanes, not 128): gate only against a sane HBM
+        # budget.
+        dynh_bytes = self.t_pad * treelet * 3 * nf * 2
+        self.rowdynh_ok = dynh_bytes <= (512 << 20)
+        if self.rowdyn_ok or self.rowdynh_ok:
+            # [n_chunks, 3*nf*treelet, CHUNK] -> [t_pad, treelet, 3*nf]
+            tbl = np.asarray(self.table)
             self.table_dyn = jnp.asarray(
                 np.ascontiguousarray(
-                    flat.reshape(3 * nf, treelet, self.t_pad)
+                    tbl.transpose(1, 0, 2)
+                    .reshape(3 * nf, treelet, self.t_pad)
                     .transpose(2, 1, 0)))
         else:
             self.table_dyn = None
@@ -1072,8 +1119,10 @@ class TreeletTracer:
         # mode: None/'onehot' per-lane gather kernels; 'rowdense' the
         # row-shared dense kernel (_rowdense_row) when the table fits;
         # 'rowdyn' the same row-shared traversal with the one-hot matmul
-        # fetch replaced by a scalar-indexed dynamic load (falls back to
-        # rowdense, then onehot, when VMEM gates reject the layout).
+        # fetch replaced by a scalar-indexed dynamic load; 'rowdynh' the
+        # HBM-resident variant (per-round DMA, no VMEM table gate). The
+        # ladder degrades rowdyn -> dynhbm -> rowdense -> onehot as the
+        # VMEM/HBM gates reject each layout.
         n = rays.origin.shape[0]
         if sort:
             perm = jnp.argsort(self._sort_key(rays))
@@ -1088,7 +1137,16 @@ class TreeletTracer:
                 nf=N_FIELDS[self.kind], treelet=self.treelet,
                 any_hit=any_hit, rays=self.rays, subrows=self.subrows,
                 fetch="dyn", interpret=self.interpret)
-        elif mode in ("rowdense", "rowdyn") and self.rowdense_ok:
+        elif mode in ("rowdyn", "rowdynh") and self.rowdynh_ok:
+            # VMEM table gate failed (or dynhbm explicitly requested):
+            # same traversal, HBM-resident table, per-round DMA fetch.
+            t, packed = _trace_blocks_rowdense(
+                self.boxes, self.cboxes, self.table_dyn, tuple(comps),
+                kind=self.kind, t_pad=self.t_pad, t_count=self.t_count,
+                nf=N_FIELDS[self.kind], treelet=self.treelet,
+                any_hit=any_hit, rays=self.rays, subrows=self.subrows,
+                fetch="dynhbm", interpret=self.interpret)
+        elif mode in ("rowdense", "rowdyn", "rowdynh") and self.rowdense_ok:
             t, packed = _trace_blocks_rowdense(
                 self.boxes, self.cboxes, self.table_flat, tuple(comps),
                 kind=self.kind, t_pad=self.t_pad, t_count=self.t_count,

@@ -53,11 +53,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_single_thread", action="store_true")
     p.add_argument("--use_multi_thread", action="store_true")
     p.add_argument("--trace_mode", default="auto",
-                   choices=["auto", "onehot", "rowdense"],
+                   choices=["auto", "onehot", "rowdense", "rowdyn",
+                            "rowdynh"],
                    help="treelet kernel: auto (pilot-measured, default), "
                         "rowdense (row-shared dense visits, pairs with "
-                        "the Morton lane order) or onehot (per-lane MXU "
-                        "gathers)")
+                        "the Morton lane order), rowdyn (row-shared with "
+                        "scalar-indexed treelet fetch; degrades to an "
+                        "HBM DMA fetch, then rowdense, as VMEM gates "
+                        "reject), rowdynh (force the HBM DMA fetch) or "
+                        "onehot (per-lane MXU gathers)")
     p.add_argument("--compact", default="auto",
                    choices=["auto", "on", "off"],
                    help="shrink the bounce wavefront with a measured "

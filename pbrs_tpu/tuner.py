@@ -304,12 +304,21 @@ def tune(scene, sampler, lanes, sample_ids, depth=5, msaa=2,
         }
 
     cache_key = None
+    # Per-candidate measurements checkpointed as they land, so a pilot
+    # killed mid-run (job timeout, wedged chip) RESUMES instead of
+    # restarting — the full candidate set can exceed one healthy-chip
+    # window on flaky tunnels (round-5 post-mortem: two 3000 s mesh_ball
+    # attempts died inside the pilot loop).
+    partial = {}
     if os.environ.get("PBRS_TUNER_NOCACHE") != "1":
         try:
             cache_key = _cache_key(scene, lanes.shape[0], depth, msaa,
                                    trace_mode, compact)
             rec = _cache_load(cache_key)
-            if rec is not None:
+            if rec is not None and "partial" in rec:
+                partial = dict(rec["partial"])
+                log(f"resuming pilot: {len(partial)} cached measurements")
+            elif rec is not None:
                 cand = rebuild(rec)
                 if cand is not None:
                     log(f"cache hit ({cache_key}): {cand.label}")
@@ -416,12 +425,24 @@ def tune(scene, sampler, lanes, sample_ids, depth=5, msaa=2,
 
     best, best_t = None, float("inf")
     for cand in candidates:
-        try:
-            dt = _measure(cand, lanes, sample_ids)
-        except Exception as e:  # a candidate failing must not kill renders
-            log(f"{cand.label}: failed ({type(e).__name__}: {e})")
-            continue
-        log(f"{cand.label}: {dt * 1e3:.1f} ms/launch")
+        if cand.label in partial:
+            dt = partial[cand.label]
+            if dt is None:  # failed in a previous attempt; don't retry
+                continue
+            log(f"{cand.label}: {dt * 1e3:.1f} ms/launch (checkpointed)")
+        else:
+            try:
+                dt = _measure(cand, lanes, sample_ids)
+            except Exception as e:  # a failing candidate must not kill renders
+                log(f"{cand.label}: failed ({type(e).__name__}: {e})")
+                partial[cand.label] = None
+                if cache_key is not None:
+                    _cache_store(cache_key, {"partial": partial})
+                continue
+            log(f"{cand.label}: {dt * 1e3:.1f} ms/launch")
+            partial[cand.label] = dt
+            if cache_key is not None:
+                _cache_store(cache_key, {"partial": partial})
         if dt < best_t:
             best, best_t = cand, dt
     if best is None:

@@ -34,7 +34,8 @@ def _random_rays(n, lo, hi, seed=1, t_max=3e38):
 
 def _check_agreement(tr, rays):
     t1, i1 = tr.trace(rays)
-    modes = ["rowdense"] + (["rowdyn"] if tr.rowdyn_ok else [])
+    modes = (["rowdense"] + (["rowdyn"] if tr.rowdyn_ok else [])
+             + (["rowdynh"] if tr.rowdynh_ok else []))
     for mode in modes:
         t2, i2 = tr.trace(rays, mode=mode)
         t1n, i1n, t2n, i2n = map(np.asarray, (t1, i1, t2, i2))
@@ -144,3 +145,26 @@ def test_rowdense_infinite_tmax_and_other_kinds():
         # No phantom hits at the sentinel.
         t2 = np.asarray(t2)
         assert not np.any((t2 >= 2.9e38) & np.isfinite(t2))
+
+
+def test_rowdyn_ladder_falls_back_to_hbm_fetch():
+    """When the VMEM gates reject both the rowdyn split table and the
+    rowdense flat table, mode='rowdyn' must route to the HBM-resident
+    per-round DMA fetch ('dynhbm') and agree with the one-hot kernels
+    exactly (the fetch reads the identical bf16 3-split fields)."""
+    p0, p1, p2 = _random_tris(900, np.float32([2, 2, 2]), seed=7)
+    lo, hi = bvh_mod.triangle_bboxes(p0, p1, p2)
+    tr = tl.TreeletTracer(tl.KIND_TRI, tl._tri_fields(p0, p1, p2), lo, hi,
+                          0, interpret=True)
+    assert tr.rowdynh_ok
+    # Simulate a beyond-VMEM mesh: both VMEM layouts rejected.
+    tr.rowdyn_ok = False
+    tr.rowdense_ok = False
+    rays = _random_rays(2048, -4, 4, seed=8)
+    t1, i1 = tr.trace(rays)
+    t2, i2 = tr.trace(rays, mode="rowdyn")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.where(np.isfinite(np.asarray(t1)), np.asarray(t1), -1.0),
+        np.where(np.isfinite(np.asarray(t2)), np.asarray(t2), -1.0),
+        rtol=1e-6, atol=1e-6)

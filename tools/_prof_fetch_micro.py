@@ -76,12 +76,14 @@ def timeit(fn, *args, iters=5):
 def rounds_of(mode, rays):
     """Mean rounds per 1024-lane row (debug_rounds encodes rounds*100)."""
     comps, _ = bvh._components(rays)
+    fetch = {"rowdense": "onehot", "rowdyn": "dyn",
+             "rowdynh": "dynhbm"}[mode]
     t, _ = tl._trace_blocks_rowdense(
         bvh.boxes, bvh.cboxes,
-        bvh.table_dyn if mode == "rowdyn" else bvh.table_flat,
+        bvh.table_flat if mode == "rowdense" else bvh.table_dyn,
         tuple(comps), kind=bvh.kind, t_pad=bvh.t_pad, t_count=bvh.t_count,
         nf=tl.N_FIELDS[bvh.kind], treelet=bvh.treelet,
-        fetch="dyn" if mode == "rowdyn" else "onehot", debug_rounds=True)
+        fetch=fetch, debug_rounds=True)
     per_row = np.asarray(t)[:, 0] / 100.0
     return float(per_row.mean())
 
@@ -89,8 +91,10 @@ def rounds_of(mode, rays):
 for label, rays in (("coherent", rays_c), ("scrambled", rays_i)):
     rows = -(-n // tl.RAYS)
     base_ms = None
-    for mode in ("rowdense", "rowdyn"):
+    for mode in ("rowdense", "rowdyn", "rowdynh"):
         if mode == "rowdyn" and not bvh.rowdyn_ok:
+            continue
+        if mode == "rowdynh" and not bvh.rowdynh_ok:
             continue
         fn = jax.jit(lambda r, m=mode: bvh.trace(r, mode=m))
         ms, (t, idx) = timeit(fn, rays)
@@ -104,7 +108,7 @@ for label, rays in (("coherent", rays_c), ("scrambled", rays_i)):
         if base_ms is None:
             base_ms = ms
         else:
-            print(f"[{label}] fetch delta (rowdyn - rowdense): "
+            print(f"[{label}] fetch delta ({mode} - rowdense): "
                   f"{ms - base_ms:+.2f} ms "
                   f"({(ms - base_ms) / base_ms * 100:+.1f}%)", flush=True)
 
